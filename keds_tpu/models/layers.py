@@ -1,0 +1,121 @@
+"""Core transformer building blocks (pure functions over param pytrees).
+
+Numerics mirror the reference CLIP blocks (``src/model/model.py:291-373``):
+
+* LayerNorm always computes in float32 and casts back (the reference's
+  fp16-safe ``LayerNorm`` subclass, ``model.py:291-297``),
+* QuickGELU ``x * sigmoid(1.702 x)`` (``model.py:300-302``),
+* pre-LN residual attention blocks with a 4x MLP.
+
+Blocks are *stacked*: every per-layer parameter carries a leading layer axis
+and the tower runs as one ``lax.scan``, which keeps compile time flat in depth
+and lets XLA pipeline HBM weight fetches.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Float32-island LayerNorm: normalize in f32, return in x.dtype."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def multi_head_attention(
+    x: jax.Array,
+    qkv_w: jax.Array,
+    qkv_b: jax.Array,
+    out_w: jax.Array,
+    out_b: jax.Array,
+    n_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Batched self-attention, (B, S, D) -> (B, S, D).
+
+    ``qkv_w`` is (D, 3D) (fused projection), ``out_w`` is (D, D); ``mask`` is
+    an additive (S, S) bias (0 / -inf causal mask for the text tower).
+    Scores are accumulated and softmaxed in float32.
+    """
+    B, S, D = x.shape
+    H = n_heads
+    Dh = D // H
+    qkv = jnp.dot(x, qkv_w.astype(x.dtype)) + qkv_b.astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    scale = 1.0 / math.sqrt(Dh)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
+    return jnp.dot(ctx, out_w.astype(x.dtype)) + out_b.astype(x.dtype)
+
+
+def residual_block(x: jax.Array, blk: dict, n_heads: int, mask: Optional[jax.Array]) -> jax.Array:
+    """One pre-LN residual attention block (reference model.py:305-326)."""
+    h = layer_norm(x, blk["ln1_g"], blk["ln1_b"])
+    x = x + multi_head_attention(
+        h, blk["qkv_w"], blk["qkv_b"], blk["out_w"], blk["out_b"], n_heads, mask
+    )
+    h = layer_norm(x, blk["ln2_g"], blk["ln2_b"])
+    h = quick_gelu(jnp.dot(h, blk["fc_w"].astype(x.dtype)) + blk["fc_b"].astype(x.dtype))
+    x = x + jnp.dot(h, blk["proj_w"].astype(x.dtype)) + blk["proj_b"].astype(x.dtype)
+    return x
+
+
+def transformer(
+    x: jax.Array,
+    blocks: dict,
+    n_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Run stacked residual blocks with lax.scan.  ``blocks`` leaves have a
+    leading layer axis."""
+
+    def body(carry, blk):
+        return residual_block(carry, blk, n_heads, mask), None
+
+    out, _ = jax.lax.scan(body, x, blocks)
+    return out
+
+
+def transformer_collect(
+    x: jax.Array,
+    blocks: dict,
+    n_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Like :func:`transformer` but also returns every block's output,
+    stacked (L, B, S, D) — the reference's ``mid_feature`` mode
+    (model.py:337-342)."""
+
+    def body(carry, blk):
+        out = residual_block(carry, blk, n_heads, mask)
+        return out, out
+
+    out, collected = jax.lax.scan(body, x, blocks)
+    return out, collected
+
+
+def unstack_blocks(blocks: dict, n_layers: int) -> list[dict]:
+    """Split stacked block params into a per-layer list (for injected-fusion
+    variants that interleave custom ops between specific layers)."""
+    return [jax.tree.map(lambda a: a[i], blocks) for i in range(n_layers)]
