@@ -1,0 +1,355 @@
+"""Benchmark evaluators (reference ``src/eval_utils.py:291-1005``).
+
+Protocol parity with the reference:
+
+* **CIRR** (eval_utils.py:578-740): corpus pass, then a checkpoint sweep
+  j=1..30 loading ``<image_branch>/epoch_j.pt`` and ``<text_branch>/epoch_j.pt``;
+  dual-branch composition; the reported "image" features are the text-branch
+  composed features (:699) and "mixture" = 0.5/0.5 (:709).
+* **CIRR test** (:743-860): fixed epochs (image 10 / text 13), writes the
+  test-server submission dicts.
+* **Fashion-IQ** (:863-1005): fusion without ``text_condition`` (2 pseudo
+  tokens, :947-950), ``encode_text_img_train`` splice, sweep j=1..15 with
+  mixture 0.05j.
+* **COCO** (:451-575): region-crop queries, both branches loaded from the
+  image branch dir (epochs 2j-1 / 2j, :478-484), sweep j=1..25, mixture 0.05j.
+* **ImageNet domain transfer** (:291-448): prompts "a {domain} of *", labels
+  offset by 1000*domain, sweep j=5..9 (epochs 2j-1 / 2j), mixture 0.1j.
+
+TPU-first restructuring (identical math, much faster sweeps): the expensive
+query-side tensors that do NOT depend on the swept heads — CLIP image
+features, retrieved top-16 neighbors, tokenized prompts — are computed once
+and cached; each sweep step then runs only fusion + the frozen text tower,
+jitted once with head params as arguments (no retracing across checkpoints).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keds_tpu.evalkit import metrics as M
+from keds_tpu.io.checkpoint import load_heads_checkpoint
+from keds_tpu.models import clip as mclip
+from keds_tpu.models.composition import FusionHeads, compose_pseudo_tokens
+from keds_tpu.retrieval.database import Retriever
+from keds_tpu.tokenizer import star_token_id, tokenize
+
+
+def _norm(x):
+    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@dataclass
+class EvalContext:
+    clip_params: dict
+    cfg: mclip.ClipConfig
+    retriever: Retriever
+    image_branch: str = "./image_branch/checkpoints"
+    text_branch: str = "./text_branch/checkpoints"
+    batch_size: int = 64
+    db_topk: int = 16
+    compute_dtype: object = jnp.bfloat16
+    _jit_cache: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        cast = lambda a: a.astype(self.compute_dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a  # noqa: E731
+        self.clip_c = jax.tree.map(cast, self.clip_params)
+        self.split_id = star_token_id()
+        self.encode_image = jax.jit(
+            lambda imgs: mclip.encode_image(self.clip_c, self.cfg, imgs)
+        )
+        self.encode_text = jax.jit(
+            lambda text: mclip.encode_text(self.clip_c, self.cfg, text)
+        )
+
+    # -- cached query-side precomputation -----------------------------------
+    def image_features(self, images) -> jax.Array:
+        return self.encode_image(jnp.asarray(images))
+
+    def retrieved(self, feats: jax.Array):
+        return self.retriever.retrieve_features(feats, k=self.db_topk, rng=None)
+
+    # -- head-dependent composition (jitted once; heads are arguments) ------
+    def composed_fn(self, mode: str, use_text_condition: bool) -> Callable:
+        key = (mode, use_text_condition)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def fn(heads: FusionHeads, feats, topk_img, topk_txt, text):
+            tokens = compose_pseudo_tokens(
+                heads, feats, topk_img, topk_txt,
+                use_text_condition=use_text_condition, train=False,
+            )
+            if mode == "retrieval":
+                out = mclip.encode_text_img_retrieval(
+                    self.clip_c, self.cfg, text, tokens, split_id=self.split_id
+                )
+            else:  # in-place splice (Fashion-IQ)
+                out = mclip.encode_text_img_train(
+                    self.clip_c, self.cfg, text, tokens, split_id=self.split_id
+                )
+            return _norm(out.astype(jnp.float32))
+
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    def load_heads(self, directory: str, epoch: int) -> FusionHeads:
+        path = os.path.join(directory, f"epoch_{epoch}.pt")
+        heads, _ = load_heads_checkpoint(path)
+        return jax.tree.map(jnp.asarray, heads)
+
+
+def _encode_corpus(ctx: EvalContext, target_loader) -> Tuple[np.ndarray, List[str]]:
+    feats, names = [], []
+    for images, paths in target_loader:
+        f = _norm(ctx.image_features(images).astype(jnp.float32))
+        feats.append(np.asarray(f))
+        names.extend(paths)
+    return np.concatenate(feats, axis=0), names
+
+
+def _precompute_queries(ctx: EvalContext, query_loader, unpack) -> List[dict]:
+    """Run the head-independent query side once: image encode + retrieval +
+    any per-batch metadata from ``unpack``."""
+    cache = []
+    for batch in query_loader:
+        images, meta = unpack(batch)
+        feats = ctx.image_features(images)
+        topk_img, topk_txt = ctx.retrieved(feats)
+        cache.append(dict(feats=feats, topk_img=topk_img, topk_txt=topk_txt, **meta))
+    return cache
+
+
+def _log_metrics(tag: str, key: str, m: Dict[str, float]) -> None:
+    logging.info(
+        f"{tag} Eval {key} Feature " + "\t".join(f"{k}: {v:.4f}" for k, v in m.items())
+    )
+
+
+# ---------------------------------------------------------------------------
+# CIRR
+# ---------------------------------------------------------------------------
+
+def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
+                  epochs: Sequence[int] = range(1, 31)) -> Dict:
+    corpus, target_paths = _encode_corpus(ctx, target_loader)
+
+    def unpack(batch):
+        ref_images, text_with_blank, caption_only, ref_paths, answer_paths, _, _ = batch
+        return ref_images, dict(
+            text=jnp.asarray(text_with_blank),
+            caption_only=jnp.asarray(caption_only),
+            ref_paths=list(ref_paths), answer_paths=list(answer_paths),
+        )
+
+    cache = _precompute_queries(ctx, query_loader, unpack)
+    ref_paths = [p for b in cache for p in b["ref_paths"]]
+    answer_paths = [p for b in cache for p in b["answer_paths"]]
+    compose = ctx.composed_fn("retrieval", use_text_condition=True)
+    results = {}
+    for j in epochs:
+        heads_ib = ctx.load_heads(ctx.image_branch, j)
+        heads_tb = ctx.load_heads(ctx.text_branch, j)
+        composed, composed_tb = [], []
+        for b in cache:
+            c_ib = compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"])
+            c_tb = compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"])
+            composed.append(np.asarray(c_ib))
+            composed_tb.append(np.asarray(c_tb))
+        composed = np.concatenate(composed)
+        composed_tb = np.concatenate(composed_tb)
+        mixture = composed * 0.5 + composed_tb * 0.5
+        mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
+        feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
+        metric_fn = partial(
+            M.get_metrics_cirr, corpus,
+            reference_names=ref_paths, index_names=target_paths,
+            target_names=answer_paths,
+        )
+        for key, value in feats.items():
+            m = metric_fn(ref_features=value)
+            _log_metrics(f"CIRR[j={j}]", key, m)
+            results[(j, key)] = m
+    return results
+
+
+def evaluate_cirr_test(ctx: EvalContext, query_loader, target_loader,
+                       image_epoch: int = 10, text_epoch: int = 13) -> Dict:
+    corpus, target_paths = _encode_corpus(ctx, target_loader)
+
+    def unpack(batch):
+        ref_images, text_with_blank, caption_only, ref_paths, pairids, _ = batch
+        return ref_images, dict(
+            text=jnp.asarray(text_with_blank),
+            caption_only=jnp.asarray(caption_only),
+            ref_paths=list(ref_paths), pairids=list(pairids),
+        )
+
+    cache = _precompute_queries(ctx, query_loader, unpack)
+    ref_paths = [p for b in cache for p in b["ref_paths"]]
+    pairids = [int(p) for b in cache for p in b["pairids"]]
+    heads_ib = ctx.load_heads(ctx.image_branch, image_epoch)
+    heads_tb = ctx.load_heads(ctx.text_branch, text_epoch)
+    compose = ctx.composed_fn("retrieval", use_text_condition=True)
+    composed, composed_tb, captions = [], [], []
+    for b in cache:
+        composed.append(np.asarray(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"])))
+        composed_tb.append(np.asarray(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"])))
+        captions.append(np.asarray(_norm(ctx.encode_text(b["caption_only"]).astype(jnp.float32))))
+    composed = np.concatenate(composed)
+    composed_tb = np.concatenate(composed_tb)
+    captions = np.concatenate(captions)
+    mixture = 0.5 * composed_tb + 0.5 * composed
+    mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
+    out_fn = partial(M.get_cirr_testoutput, corpus,
+                     reference_names=ref_paths, index_names=target_paths,
+                     id_names=pairids)
+    return {
+        "composed": out_fn(ref_features=composed),
+        "image": out_fn(ref_features=composed_tb),
+        "text": out_fn(ref_features=captions),
+        "mixture": out_fn(ref_features=mixture),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Fashion-IQ
+# ---------------------------------------------------------------------------
+
+def evaluate_fashion(ctx: EvalContext, source_loader, target_loader,
+                     epochs: Sequence[int] = range(1, 16)) -> Dict:
+    corpus, target_paths = _encode_corpus(ctx, target_loader)
+
+    def unpack(batch):
+        ref_images, _tar, target_caption, _cap, answer_paths, ref_names, caps = batch
+        return ref_images, dict(
+            text=jnp.asarray(target_caption),
+            answer_paths=list(answer_paths),
+        )
+
+    cache = _precompute_queries(ctx, source_loader, unpack)
+    answer_paths = [p for b in cache for p in b["answer_paths"]]
+    compose = ctx.composed_fn("train", use_text_condition=False)
+    results = {}
+    for j in epochs:
+        heads_ib = ctx.load_heads(ctx.image_branch, 2 * j - 1)
+        heads_tb = ctx.load_heads(ctx.text_branch, 2 * j)
+        composed, composed_tb = [], []
+        for b in cache:
+            composed.append(np.asarray(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"])))
+            composed_tb.append(np.asarray(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"])))
+        composed = np.concatenate(composed)
+        composed_tb = np.concatenate(composed_tb)
+        mixture = 0.05 * j * composed_tb + (1 - 0.05 * j) * composed
+        mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
+        feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
+        metric_fn = partial(M.get_metrics_fashion, corpus,
+                            target_names=target_paths, answer_names=answer_paths)
+        for key, value in feats.items():
+            m = metric_fn(ref_features=value)
+            _log_metrics(f"Fashion[j={j}]", key, m)
+            results[(j, key)] = m
+    return results
+
+
+# ---------------------------------------------------------------------------
+# COCO
+# ---------------------------------------------------------------------------
+
+def evaluate_coco(ctx: EvalContext, loader,
+                  epochs: Sequence[int] = range(1, 26)) -> Dict:
+    def unpack(batch):
+        (images, region_images, text_full, _twb, text_with_queryclass,
+         _fn, _raw, _base) = batch
+        return region_images, dict(
+            target_images=jnp.asarray(images),
+            text=jnp.asarray(text_with_queryclass),
+            text_full=jnp.asarray(text_full),
+        )
+
+    cache = _precompute_queries(ctx, loader, unpack)
+    corpus = np.concatenate([
+        np.asarray(_norm(ctx.image_features(b["target_images"]).astype(jnp.float32)))
+        for b in cache
+    ])
+    compose = ctx.composed_fn("retrieval", use_text_condition=True)
+    logit_scale = float(np.exp(np.asarray(ctx.clip_params["logit_scale"])))
+    results = {}
+    for j in epochs:
+        heads_ib = ctx.load_heads(ctx.image_branch, 2 * j - 1)
+        # Reference loads the second member from the image branch too
+        # (eval_utils.py:483).
+        heads_tb = ctx.load_heads(ctx.image_branch, 2 * j)
+        composed, composed_tb = [], []
+        for b in cache:
+            composed.append(np.asarray(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"])))
+            composed_tb.append(np.asarray(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"])))
+        composed = np.concatenate(composed)
+        composed_tb = np.concatenate(composed_tb)
+        mixture = 0.05 * j * composed_tb + (1 - 0.05 * j) * composed
+        mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
+        feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
+        metric_fn = partial(M.get_metrics_coco, corpus, logit_scale=logit_scale)
+        for key, value in feats.items():
+            m = metric_fn(ref_features=value)
+            _log_metrics(f"COCO[j={j}]", key, m)
+            results[(j, key)] = m
+    return results
+
+
+# ---------------------------------------------------------------------------
+# ImageNet domain transfer
+# ---------------------------------------------------------------------------
+
+def evaluate_imgnet_retrieval(ctx: EvalContext, prompts: Sequence[str],
+                              query_loader, target_loader,
+                              epochs: Sequence[int] = range(5, 10),
+                              n_class: int = 1000) -> Dict:
+    target_feats, target_labels = [], []
+    for images, labels, _ in target_loader:
+        f = _norm(ctx.image_features(images).astype(jnp.float32))
+        target_feats.append(np.asarray(f))
+        target_labels.append(np.asarray(labels))
+    target_feats = np.concatenate(target_feats)
+    target_labels = np.concatenate(target_labels)
+
+    def unpack(batch):
+        images, labels, _ = batch
+        return images, dict(labels=np.asarray(labels))
+
+    cache = _precompute_queries(ctx, query_loader, unpack)
+    compose = ctx.composed_fn("retrieval", use_text_condition=True)
+    results = {}
+    for j in epochs:
+        heads_ib = ctx.load_heads(ctx.image_branch, 2 * j - 1)
+        heads_tb = ctx.load_heads(ctx.text_branch, 2 * j)
+        for p_ind, p in enumerate(prompts):
+            text = jnp.asarray(tokenize(p))
+            composed, composed_tb, labels_all = [], [], []
+            for b in cache:
+                text_b = jnp.broadcast_to(text, (b["feats"].shape[0], text.shape[1]))
+                composed.append(np.asarray(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], text_b)))
+                composed_tb.append(np.asarray(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], text_b)))
+                labels_all.append(b["labels"] + n_class * p_ind)
+            composed = np.concatenate(composed)
+            composed_tb = np.concatenate(composed_tb)
+            labels_all = np.concatenate(labels_all)
+            mixture = 0.1 * j * composed_tb + (1 - 0.1 * j) * composed
+            mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
+            feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
+            metric_fn = partial(M.get_metrics_imgnet, image_features=target_feats,
+                                query_labels=labels_all, target_labels=target_labels)
+            for key, value in feats.items():
+                m = metric_fn(value)
+                _log_metrics(f"ImgNet[j={j}, prompt={p!r}]", key, m)
+                results[(j, p, key)] = m
+    return results

@@ -1,0 +1,141 @@
+"""Benchmark metric functions — formula-exact rebuilds of the reference
+(``src/eval_utils.py:1008-1134``).
+
+These are pure tensor math over feature matrices computed on device; the
+metrics themselves run on host numpy (they execute once per checkpoint sweep,
+not in the hot loop).  Sorting uses stable argsort so results are
+deterministic under score ties.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32) if not isinstance(x, np.ndarray) else x
+
+
+def get_metrics_coco(image_features, ref_features, logit_scale) -> Dict[str, float]:
+    """Mean/median rank + R@k in both directions (reference
+    eval_utils.py:1008-1022); ground truth is the diagonal pairing."""
+    image_features, ref_features = _np(image_features), _np(ref_features)
+    scale = float(np.asarray(logit_scale))
+    metrics: Dict[str, float] = {}
+    logits_per_image = scale * image_features @ ref_features.T
+    logits = {"image_to_ref": logits_per_image, "ref_to_image": logits_per_image.T}
+    n = len(ref_features)
+    ground_truth = np.arange(n)[:, None]
+    for name, logit in logits.items():
+        ranking = np.argsort(-logit, axis=1, kind="stable")
+        preds = np.where(ranking == ground_truth)[1]
+        metrics[f"{name}_mean_rank"] = float(preds.mean() + 1)
+        metrics[f"{name}_median_rank"] = float(np.floor(np.median(preds)) + 1)
+        for k in (1, 5, 10, 50, 100):
+            metrics[f"{name}_R@{k}"] = float(np.mean(preds < k))
+    return metrics
+
+
+def get_metrics_fashion(image_features, ref_features,
+                        target_names: Sequence[str],
+                        answer_names: Sequence[str]) -> Dict[str, float]:
+    """Fashion-IQ recalls (reference eval_utils.py:1025-1037)."""
+    image_features, ref_features = _np(image_features), _np(ref_features)
+    distances = 1 - ref_features @ image_features.T
+    sorted_indices = np.argsort(distances, axis=-1, kind="stable")
+    sorted_index_names = np.asarray(target_names)[sorted_indices]
+    labels = sorted_index_names == np.asarray(answer_names)[:, None]
+    if not (labels.sum(axis=-1) == 1).all():
+        raise AssertionError("each query must have exactly one ground-truth target")
+    metrics = {}
+    for k in (1, 5, 10, 50, 100):
+        metrics[f"R@{k}"] = float(labels[:, :k].sum() / len(labels)) * 100
+    return metrics
+
+
+def _masked_cirr_ranking(image_features, ref_features,
+                         reference_names, index_names) -> np.ndarray:
+    """Ranked target basenames per query with the query's own reference image
+    removed (shared by CIRR val metrics and the test-server output)."""
+    distances = 1 - _np(ref_features) @ _np(image_features).T
+    sorted_indices = np.argsort(distances, axis=-1, kind="stable")
+    sorted_index_names = np.asarray(index_names)[sorted_indices]
+    base = np.vectorize(os.path.basename)
+    sorted_index_names = base(sorted_index_names)
+    reference_mask = sorted_index_names != np.asarray(reference_names)[:, None]
+    n_q, n_t = sorted_index_names.shape
+    return sorted_index_names[reference_mask].reshape(n_q, n_t - 1)
+
+
+def get_metrics_cirr(image_features, ref_features,
+                     reference_names: Sequence[str],
+                     index_names: Sequence[str],
+                     target_names: Sequence[str]) -> Dict[str, float]:
+    """CIRR recalls with reference-image masking (reference
+    eval_utils.py:1040-1067)."""
+    ranked = _masked_cirr_ranking(image_features, ref_features,
+                                  reference_names, index_names)
+    labels = ranked == np.asarray(target_names)[:, None]
+    if not (labels.sum(axis=-1) == 1).all():
+        raise AssertionError("each query must have exactly one ground-truth target")
+    metrics = {}
+    for k in (1, 5, 10, 50, 100):
+        metrics[f"recall_R@{k}"] = float(labels[:, :k].sum() / len(labels)) * 100
+    return metrics
+
+
+def get_cirr_testoutput(image_features, ref_features,
+                        reference_names: Sequence[str],
+                        index_names: Sequence[str],
+                        id_names: Sequence) -> Dict[str, object]:
+    """CIRR test-server submission dict: top-50 target names per pairid
+    (reference eval_utils.py:1070-1087)."""
+    ranked = _masked_cirr_ranking(image_features, ref_features,
+                                  reference_names, index_names)
+    result: Dict[str, object] = {"version": "rc2", "metric": "recall"}
+    for i, pairid in enumerate(id_names):
+        result[str(int(pairid))] = [
+            ranked[i][t].replace(".png", "") for t in range(50)
+        ]
+    return result
+
+
+def get_metrics_imgnet(query_features, image_features,
+                       query_labels, target_labels,
+                       num_classes: int = 7000) -> Dict[str, float]:
+    """ImageNet domain-transfer R@k / P@k over one-hot class matches,
+    processed in query batches of 100 (reference eval_utils.py:1090-1134).
+    Labels are already offset by 1000*domain by the evaluator."""
+    query_features, image_features = _np(query_features), _np(image_features)
+    query_labels = np.asarray(query_labels)
+    target_labels = np.asarray(target_labels)
+    ks = (1, 5, 10, 50, 100, 200)
+    metrics = {f"Real2Sketch_R@{k}": 0.0 for k in ks}
+    metrics.update({f"Real2Sketch_P@{k}": 0.0 for k in ks})
+    n_targets = len(target_labels)
+    for start in range(0, len(query_features), 100):
+        feats = query_features[start:start + 100]
+        labels = query_labels[start:start + 100]
+        logits = feats @ image_features.T
+        # label match matrix == (one_hot(q) @ one_hot(t).T)
+        label_matrix = (labels[:, None] == target_labels[None, :]).astype(np.float32)
+        ranking = np.argsort(-logits, axis=1, kind="stable")
+        for k in ks:
+            rank_k = ranking[:, :k]
+            matrix_k = np.zeros_like(label_matrix)
+            matrix_k[np.arange(len(feats))[:, None], rank_k] = 1
+            consistency = matrix_k * label_matrix
+            num_correct = consistency.sum(axis=1)
+            num_predicted = matrix_k.sum(axis=1)
+            num_total = label_matrix.sum(axis=1)
+            recall = float(np.mean(num_correct / (num_total + 1e-5)))
+            precision = float(np.mean(num_correct / num_predicted))
+            metrics[f"Real2Sketch_R@{k}"] += recall * len(feats)
+            metrics[f"Real2Sketch_P@{k}"] += precision * len(feats)
+    for k in ks:
+        metrics[f"Real2Sketch_R@{k}"] /= len(query_features)
+        metrics[f"Real2Sketch_P@{k}"] /= len(query_features)
+    return metrics

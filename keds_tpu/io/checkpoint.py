@@ -1,0 +1,127 @@
+"""Train checkpoint save/load with reference-format parity.
+
+Format (reference ``src/main.py:330-341``): one ``.pt`` dict —
+
+    {epoch, name, state_dict (CLIP), state_dict_img2text,
+     state_dict_retrieval_fuse, state_dict_text_condition, optimizer}
+
+We read and write this exact layout (``module.`` prefixes stripped on read,
+src/main.py:267-274).  The ``optimizer`` entry holds the optax state as a
+nested numpy dict when we write (a torch AdamW state is not resumable into
+optax and vice versa — resuming optimizer state works within one framework;
+head/CLIP weights interchange both ways).
+
+An orbax-native format is also supported (``--checkpoint-format orbax``) for
+large-scale async checkpointing.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from keds_tpu.io.pt import load_pt, save_pt
+from keds_tpu.models import convert
+from keds_tpu.models.composition import FusionHeads
+
+
+def save_train_checkpoint(
+    path: str,
+    *,
+    epoch: int,
+    name: str,
+    clip_params: dict,
+    clip_cfg,
+    heads: FusionHeads,
+    opt_state=None,
+    fmt: str = "pt",
+) -> None:
+    if fmt == "orbax":
+        _save_orbax(path, epoch=epoch, name=name, heads=heads, opt_state=opt_state)
+        return
+    to_np = lambda t: jax.tree.map(np.asarray, t)  # noqa: E731
+    payload = {
+        "epoch": epoch,
+        "name": name,
+        "state_dict": convert.clip_pytree_to_state_dict(to_np(clip_params), clip_cfg),
+        "state_dict_img2text": convert.im2text_pytree_to_state_dict(to_np(heads.img2text)),
+        "state_dict_retrieval_fuse": convert.crossformer_pytree_to_state_dict(
+            to_np(heads.retrieval_fuse)
+        ),
+        "state_dict_text_condition": convert.crossformer_pytree_to_state_dict(
+            to_np(heads.text_condition)
+        ),
+        "optimizer": to_np(opt_state) if opt_state is not None else {},
+    }
+    save_pt(payload, path)
+    logging.info("saved checkpoint %s (epoch %d)", path, epoch)
+
+
+def load_heads_checkpoint(path: str) -> Tuple[FusionHeads, int]:
+    """Load the 3 head modules from a reference-format checkpoint
+    (reference load_model_without_definition, src/eval_utils.py:59-86 — with
+    its undefined-``sd`` bug repaired)."""
+    ckpt = load_pt(path)
+    heads = FusionHeads(
+        img2text=convert.im2text_state_dict_to_pytree(ckpt["state_dict_img2text"]),
+        retrieval_fuse=convert.crossformer_state_dict_to_pytree(
+            ckpt["state_dict_retrieval_fuse"]
+        ),
+        text_condition=convert.crossformer_state_dict_to_pytree(
+            ckpt["state_dict_text_condition"]
+        ),
+    )
+    epoch = int(ckpt.get("epoch", 0))
+    logging.info("=> loaded checkpoint '%s' (epoch %d)", path, epoch)
+    return heads, epoch
+
+
+def load_full_checkpoint(path: str):
+    """Load CLIP params + heads (+epoch) from a train checkpoint."""
+    ckpt = load_pt(path)
+    clip_params, cfg = convert.clip_state_dict_to_pytree(ckpt["state_dict"])
+    heads, epoch = load_heads_checkpoint(path)
+    return clip_params, cfg, heads, epoch
+
+
+def resolve_resume(resume: Optional[str], checkpoint_dir: str) -> Optional[str]:
+    """``--resume auto`` scans the checkpoint dir for the latest
+    ``epoch_N.pt`` (reference src/main.py:245-252)."""
+    if resume != "auto":
+        return resume
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    best, best_epoch = None, -1
+    for fn in os.listdir(checkpoint_dir):
+        m = re.match(r"epoch_(\d+)\.pt$", fn)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch = int(m.group(1))
+            best = os.path.join(checkpoint_dir, fn)
+    return best
+
+
+def _save_orbax(path: str, **payload) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = {
+            "epoch": payload["epoch"],
+            "heads": payload["heads"]._asdict(),
+        }
+        if payload.get("opt_state") is not None:
+            tree["opt_state"] = payload["opt_state"]
+        ckptr.save(path, tree, force=True)
+
+
+def load_orbax_heads(path: str) -> Tuple[FusionHeads, int]:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path))
+    return FusionHeads(**tree["heads"]), int(tree["epoch"])

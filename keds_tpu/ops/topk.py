@@ -1,0 +1,93 @@
+"""Brute-force maximum-inner-product top-k search (the Faiss replacement).
+
+The reference searches a faiss ``IndexFlatL2(768)`` over 0.5M unit-norm
+vectors every training step, with a forced GPU->CPU->GPU round-trip around the
+call (``src/trainer.py:198-259``, ``src/main.py:74-101``).  On unit-norm
+vectors L2 ranking == cosine == max inner product, so the TPU-native engine is
+a matmul + top-k that never leaves the device:
+
+* :func:`mips_topk` — XLA path: one MXU matmul + ``lax.top_k``.
+* :func:`mips_topk_fused` — Pallas kernel fusing score computation with
+  running top-k selection so the (B, N) score matrix never spills to HBM
+  (see :mod:`keds_tpu.ops.pallas_topk`).
+* :func:`mips_topk_sharded` — DB rows sharded across the mesh: per-shard
+  local top-k, ICI all-gather of (values, global indices), final merge.
+  This is the analog of faiss ``index_cpu_to_all_gpus``
+  (``src/eval_retrieval.py:289-298``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+def mips_topk(queries: jax.Array, db: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k by inner product.  queries (B, D), db (N, D) ->
+    (values (B, k) f32, indices (B, k) i32)."""
+    scores = jax.lax.dot_general(
+        queries, db, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx.astype(jnp.int32)
+
+
+def mips_topk_fused(queries: jax.Array, db: jax.Array, k: int, *,
+                    block_q: int = 128, block_n: int = 2048,
+                    interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    from keds_tpu.ops.pallas_topk import mips_topk_pallas
+
+    return mips_topk_pallas(queries, db, k, block_q=block_q, block_n=block_n,
+                            interpret=interpret)
+
+
+def _local_then_merge(queries, db_shard, k, axis_name, backend, interpret):
+    """shard_map body: local top-k over this device's DB rows, then a global
+    merge over the mesh axis."""
+    n_local = db_shard.shape[0]
+    if backend == "pallas":
+        vals, idx = mips_topk_fused(queries, db_shard, k, interpret=interpret)
+    else:
+        vals, idx = mips_topk(queries, db_shard, k)
+    shard = jax.lax.axis_index(axis_name)
+    gidx = idx + (shard * n_local).astype(jnp.int32)
+    # (W, B, k) candidates ride the ICI; W*k per query is tiny.
+    all_vals = jax.lax.all_gather(vals, axis_name)
+    all_idx = jax.lax.all_gather(gidx, axis_name)
+    W = all_vals.shape[0]
+    B = queries.shape[0]
+    cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(B, W * k)
+    cand_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(B, W * k)
+    mvals, mpos = jax.lax.top_k(cand_vals, k)
+    midx = jnp.take_along_axis(cand_idx, mpos, axis=1)
+    return mvals, midx
+
+
+def mips_topk_sharded(
+    queries: jax.Array,
+    db: jax.Array,
+    k: int,
+    mesh: jax.sharding.Mesh,
+    axis_name: str = "data",
+    backend: str = "xla",
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Search a row-sharded DB.  ``db`` rows are split over ``axis_name``;
+    ``queries`` are replicated to every shard, each shard computes a local
+    top-k on its rows, and candidates are merged with an all-gather.
+    Results are identical (up to ties) to :func:`mips_topk` on the full DB.
+    """
+    body = partial(_local_then_merge, k=k, axis_name=axis_name,
+                   backend=backend, interpret=interpret)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, db)

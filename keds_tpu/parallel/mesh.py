@@ -1,0 +1,64 @@
+"""Device mesh bootstrap (the NCCL/DDP replacement).
+
+The reference spawns one process per GPU and wires NCCL through
+``torch.distributed`` (``src/main.py:113-119``).  JAX equivalents:
+
+* single host: all local TPU chips on a 1-D ``data`` mesh axis;
+* multi host: ``jax.distributed.initialize()`` (env-driven on TPU pods),
+  then the same mesh over all global devices — collectives ride ICI within a
+  slice and DCN across slices without code changes.
+
+The workload's only model-state is 3 small heads (replicated); data
+parallelism plus a row-sharded retrieval DB cover the reference's entire
+distribution story (SURVEY.md §2 parallelism table).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed(cfg=None) -> None:
+    """Initialize multi-host JAX if we're on a multi-host platform.  Safe to
+    call unconditionally on a single host."""
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized
+    except RuntimeError:
+        pass
+    import os
+
+    if any(k in os.environ for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")):
+        jax.distributed.initialize()
+        logging.info(
+            "jax.distributed initialized: process %d/%d",
+            jax.process_index(), jax.process_count(),
+        )
+
+
+def device_count() -> int:
+    return jax.device_count()
+
+
+def make_mesh(num_devices: int = 0, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices
+    (0 = all)."""
+    devs = jax.devices()
+    if num_devices:
+        devs = devs[:num_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Batch-dim sharding for input arrays."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

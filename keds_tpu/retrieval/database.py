@@ -1,0 +1,203 @@
+"""Bi-modality knowledge database + retrieval (reference C10/C11).
+
+The reference keeps two 0.5M x 768 tensors (CC3M image / caption CLIP
+features, ``cc_{image,text}_databases.pt`` + ``database_names.txt``) on CPU,
+replicates a faiss index per GPU, and every step does a
+device->host->device round trip to search it (``src/trainer.py:198-259``,
+``src/main.py:470-478``).
+
+Here the DB lives in device HBM as two arrays (bf16 by default: 0.75 GB per
+modality at 0.5M rows) — either replicated or row-sharded over the mesh —
+and search is a jitted MIPS top-k that composes into the surrounding step
+function with no host synchronisation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keds_tpu.ops.topk import mips_topk, mips_topk_fused, mips_topk_sharded
+
+
+def _l2_normalize(x: np.ndarray) -> np.ndarray:
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@dataclasses.dataclass
+class KnowledgeDB:
+    """Unit-normalized embedding database for both modalities."""
+
+    image_db: jax.Array  # (N, D)
+    text_db: jax.Array   # (N, D)
+    names: List[str]
+
+    @property
+    def size(self) -> int:
+        return int(self.image_db.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.image_db.shape[1])
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_arrays(cls, image: np.ndarray, text: np.ndarray,
+                    names: Optional[List[str]] = None,
+                    dtype=jnp.bfloat16, normalize: bool = True) -> "KnowledgeDB":
+        image = np.asarray(image, np.float32)
+        text = np.asarray(text, np.float32)
+        if normalize:
+            image, text = _l2_normalize(image), _l2_normalize(text)
+        names = names if names is not None else [str(i) for i in range(len(image))]
+        return cls(jnp.asarray(image, dtype), jnp.asarray(text, dtype), names)
+
+    @classmethod
+    def load(cls, image_file: str, text_file: str,
+             names_file: Optional[str] = None, dtype=jnp.bfloat16) -> "KnowledgeDB":
+        """Load the reference artifacts: ``cc_image_databases.pt`` /
+        ``cc_text_databases.pt`` (.pt, .npy or .npz) + ``database_names.txt``
+        (reference src/main.py:470-478)."""
+        def read(path):
+            if path.endswith(".npy"):
+                return np.load(path, mmap_mode="r")
+            if path.endswith(".npz"):
+                z = np.load(path)
+                return z[list(z.files)[0]]
+            from keds_tpu.io import load_pt
+
+            return load_pt(path)
+
+        names: Optional[List[str]] = None
+        if names_file and os.path.isfile(names_file):
+            with open(names_file) as f:
+                names = [line.strip() for line in f]
+        logging.info("Loading knowledge DB: %s / %s", image_file, text_file)
+        db = cls.from_arrays(read(image_file), read(text_file), names, dtype)
+        logging.info("Knowledge DB ready: %d rows, dim %d", db.size, db.dim)
+        return db
+
+    @classmethod
+    def from_config(cls, cfg, dtype=jnp.bfloat16) -> "KnowledgeDB":
+        """Resolve DB files from a Config (--database-path dir convention or
+        explicit --db-*-file flags)."""
+        img, txt, names = cfg.db_image_file, cfg.db_text_file, cfg.db_names_file
+        if cfg.database_path:
+            base = cfg.database_path
+            img = img or _first_existing(base, ["cc_image_databases.pt", "image_db.npy", "image_db.npz"])
+            txt = txt or _first_existing(base, ["cc_text_databases.pt", "text_db.npy", "text_db.npz"])
+            names = names or os.path.join(base, "database_names.txt")
+        if not (img and txt):
+            raise FileNotFoundError(
+                "knowledge database not found; pass --database-path or --db-image-file/--db-text-file"
+            )
+        return cls.load(img, txt, names, dtype)
+
+    def shard_over(self, mesh: jax.sharding.Mesh, axis: str = "data") -> "KnowledgeDB":
+        """Place DB rows sharded across the mesh axis (the analog of faiss
+        index_cpu_to_all_gpus, src/eval_retrieval.py:289-298).  Rows are
+        padded to a multiple of the axis size."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        w = mesh.shape[axis]
+        n = self.size
+        n_pad = (-n) % w
+        sharding = NamedSharding(mesh, P(axis, None))
+
+        def place(a):
+            a = jnp.pad(a, ((0, n_pad), (0, 0))) if n_pad else a
+            return jax.device_put(a, sharding)
+
+        return KnowledgeDB(place(self.image_db), place(self.text_db), self.names)
+
+
+def _first_existing(base: str, candidates: List[str]) -> Optional[str]:
+    for c in candidates:
+        p = os.path.join(base, c)
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+class Retriever:
+    """Jit-composable top-k retrieval over a :class:`KnowledgeDB`.
+
+    Reproduces ``get_retrieved_features`` (src/trainer.py:198-259): normalize
+    the query, search both modalities with k=16, gather neighbor rows, and
+    randomly permute the *image* neighbors (one permutation per batch,
+    src/trainer.py:218-219).  All of it stays on device inside the caller's
+    jit scope.
+    """
+
+    def __init__(self, db: KnowledgeDB, *, backend: str = "xla",
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 sharded: bool = False, axis_name: str = "data",
+                 interpret: bool = False):
+        self.db = db
+        self.backend = backend
+        self.mesh = mesh
+        self.sharded = sharded
+        self.axis_name = axis_name
+        self.interpret = interpret
+        if sharded and mesh is None:
+            raise ValueError("sharded retrieval requires a mesh")
+
+    # -- low-level search ---------------------------------------------------
+    def search(self, queries: jax.Array, db_array: jax.Array, k: int):
+        if self.sharded:
+            return mips_topk_sharded(
+                queries, db_array, k, self.mesh, self.axis_name,
+                backend=self.backend, interpret=self.interpret,
+            )
+        if self.backend == "pallas":
+            return mips_topk_fused(queries, db_array, k, interpret=self.interpret)
+        return mips_topk(queries, db_array, k)
+
+    def _gather(self, db_array: jax.Array, idx: jax.Array) -> jax.Array:
+        take = db_array[jnp.clip(idx, 0, db_array.shape[0] - 1)]
+        return take  # (B, k, D)
+
+    # -- reference-semantics API --------------------------------------------
+    def retrieve_features(
+        self,
+        feature: jax.Array,
+        k: int = 16,
+        rng: Optional[jax.Array] = None,
+        shuffle_image: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Top-k image and caption neighbor features for each query
+        (reference get_retrieved_features).  ``rng`` drives the image-side
+        neighbor permutation; None disables it (eval twin,
+        src/eval_utils.py:153-186, keeps it on — pass a key there too)."""
+        q = feature / jnp.linalg.norm(feature, axis=1, keepdims=True)
+        q = q.astype(self.db.image_db.dtype)
+        _, img_idx = self.search(q, self.db.image_db, k)
+        topk_img = self._gather(self.db.image_db, img_idx)
+        if shuffle_image and rng is not None:
+            perm = jax.random.permutation(rng, k)
+            topk_img = topk_img[:, perm, :]
+        _, txt_idx = self.search(q, self.db.text_db, k)
+        topk_txt = self._gather(self.db.text_db, txt_idx)
+        return topk_img.astype(feature.dtype), topk_txt.astype(feature.dtype)
+
+    def retrieve_caption_neighbors(
+        self, feature: jax.Array, k: int = 2
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Top-k caption features + their row indices (reference
+        get_extra_cap_features, src/trainer.py:262-283; the caller maps
+        indices to basenames on host)."""
+        q = feature / jnp.linalg.norm(feature, axis=1, keepdims=True)
+        q = q.astype(self.db.text_db.dtype)
+        _, idx = self.search(q, self.db.text_db, k)
+        return self._gather(self.db.text_db, idx).astype(feature.dtype), idx
+
+    def names_for(self, idx: np.ndarray) -> List[str]:
+        flat = np.asarray(idx).reshape(-1)
+        return [self.db.names[i] for i in flat]

@@ -1,0 +1,171 @@
+"""Data-parallel training step and epoch loop.
+
+The reference trains 3 small heads (IM2TEXT + 2 CrossFormers) against a
+frozen CLIP with AdamW (wd excluded for bias/LN/logit_scale,
+``src/main.py:215-235``), cosine LR with warmup, one process per GPU with DDP
+gradient averaging, and a faiss search per step (``src/trainer.py:414-509``).
+
+Here one jitted step does everything on device: retrieval (MIPS top-k over
+the HBM-resident DB), fusion, the frozen-CLIP text-tower forward, loss,
+backward and AdamW update — under a 1-D ``data`` mesh, with the global batch
+sharded over devices and head params/optimizer state replicated.  There is no
+Python in the hot loop and no host<->device traffic beyond input batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from keds_tpu.models import clip as mclip
+from keds_tpu.models.composition import FusionHeads
+from keds_tpu.retrieval.database import Retriever
+from keds_tpu.train.losses import TrainBatch, image_stream_loss, text_stream_loss
+from keds_tpu.train.schedule import cosine_lr
+
+
+def weight_decay_mask(params) -> object:
+    """Apply weight decay only to matrix-shaped weights; biases (and any
+    gain/scale vectors) are excluded — reproducing the reference's
+    bn/ln/bias/logit_scale exclusion (src/main.py:215-221)."""
+    return jax.tree.map(lambda a: jnp.ndim(a) >= 2, params)
+
+
+def make_optimizer(cfg, total_steps: int) -> Tuple[optax.GradientTransformation, Callable]:
+    schedule = cosine_lr(cfg.lr, cfg.warmup, total_steps)
+    if cfg.skip_scheduler:
+        schedule = lambda step: cfg.lr  # noqa: E731
+    opt = optax.adamw(
+        learning_rate=schedule,
+        b1=cfg.beta1,
+        b2=cfg.beta2,
+        eps=cfg.eps,
+        weight_decay=cfg.wd,
+        mask=weight_decay_mask,
+    )
+    return opt, schedule
+
+
+@dataclasses.dataclass
+class TrainState:
+    heads: FusionHeads
+    opt_state: optax.OptState
+    step: int = 0
+
+
+def make_train_step(
+    clip_params: dict,
+    cfg: mclip.ClipConfig,
+    retriever: Retriever,
+    optimizer: optax.GradientTransformation,
+    *,
+    stream: str,
+    prompt_tokens: np.ndarray,
+    split_id: int,
+    grad_scale: float = 1.0,
+    dropout: float = 0.1,
+    db_topk: int = 16,
+    db_other_tokens: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+):
+    """Build the jitted train step for one stream.
+
+    ``grad_scale`` multiplies the loss used for backward (1/num_shards for
+    reference-DDP parity; see PARITY.md); the reported loss is unscaled.
+    ``db_other_tokens`` (N, 77) is required for the text stream: tokenized
+    "a photo of * * {other}" templates for every DB row, gathered on device
+    by neighbor index (replacing the reference's per-step host tokenization,
+    src/trainer.py:321-326).
+    """
+    prompt = jnp.asarray(prompt_tokens)
+    clip_c = jax.tree.map(
+        lambda a: a.astype(compute_dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        clip_params,
+    )
+    # Keep logit_scale in f32 (it feeds the f32 logits).
+    clip_c["logit_scale"] = clip_params["logit_scale"].astype(jnp.float32)
+
+    def loss_fn(heads: FusionHeads, batch: TrainBatch, rng: jax.Array):
+        r_shuffle, r_drop = jax.random.split(rng)
+        feats = batch.image_features
+        topk_img, topk_txt = retriever.retrieve_features(
+            feats, k=db_topk, rng=r_shuffle, shuffle_image=True
+        )
+        if stream == "image":
+            loss = image_stream_loss(
+                heads, clip_c, cfg, batch, topk_img, topk_txt, prompt,
+                rng=r_drop, train=True, dropout=dropout,
+            )
+        elif stream == "text":
+            caps = batch.caption_features
+            caps_n = caps / jnp.linalg.norm(caps, axis=-1, keepdims=True)
+            top2_feats, top2_idx = retriever.retrieve_caption_neighbors(caps_n, k=2)
+            top2_tokens = db_other_tokens[jnp.clip(top2_idx, 0, db_other_tokens.shape[0] - 1)]
+            loss = text_stream_loss(
+                heads, clip_c, cfg, batch, topk_img, topk_txt,
+                top2_feats, top2_tokens, split_id=split_id,
+                rng=r_drop, train=True, dropout=dropout,
+            )
+        else:
+            raise ValueError(f"unknown stream {stream!r}")
+        return loss * grad_scale, loss
+
+    @jax.jit
+    def train_step(heads, opt_state, batch: TrainBatch, rng: jax.Array):
+        grads, loss = jax.grad(loss_fn, has_aux=True)(heads, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, heads)
+        heads = optax.apply_updates(heads, updates)
+        return heads, opt_state, loss
+
+    return train_step
+
+
+def train_epoch(
+    train_step,
+    heads: FusionHeads,
+    opt_state,
+    data_iter,
+    epoch: int,
+    steps_per_epoch: int,
+    base_rng: jax.Array,
+    *,
+    log_every: int = 500,
+    schedule: Optional[Callable] = None,
+    writers: Tuple = (),
+    world_size: int = 1,
+) -> Tuple[FusionHeads, object]:
+    """Epoch loop with the reference's step-time / data-time / loss logging
+    cadence (src/trainer.py:483-508)."""
+    end = time.time()
+    loss_val = None
+    for i, batch in enumerate(data_iter):
+        if i >= steps_per_epoch:
+            break
+        step = epoch * steps_per_epoch + i
+        data_time = time.time() - end
+        rng = jax.random.fold_in(base_rng, step)
+        heads, opt_state, loss = train_step(heads, opt_state, batch, rng)
+        if (i % log_every) == 0:
+            loss_val = float(jax.block_until_ready(loss))
+            batch_time = time.time() - end
+            lr = float(schedule(step)) if schedule else float("nan")
+            pct = 100.0 * i / max(steps_per_epoch, 1)
+            logging.info(
+                f"Train Epoch: {epoch} [{i * len(batch.image_features) * world_size}"
+                f" ({pct:.0f}%)]\tLoss: {loss_val:.6f}\tData (t) {data_time:.3f}"
+                f"\tBatch (t) {batch_time:.3f}\tLR: {lr:5f}"
+            )
+            scalars = {"train/loss": loss_val, "train/data_time": data_time,
+                       "train/batch_time": batch_time, "train/lr": lr}
+            for w in writers:
+                w(scalars, step)
+        end = time.time()
+    return heads, opt_state

@@ -9,7 +9,9 @@ Environment variables must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the harness presets JAX_PLATFORMS=axon (the real TPU tunnel);
+# the test suite must run on the virtual 8-device CPU mesh instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,6 +23,11 @@ import pathlib
 import sys
 
 import jax
+
+# The axon sitecustomize imports jax at interpreter start, so environment
+# variables alone are too late — force the platform through the config.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest
 
 # Parity tests compare f32 numerics against torch; JAX's DEFAULT matmul

@@ -1,0 +1,122 @@
+"""Metric-function parity: expected values computed with an independent
+torch transcription of the reference formulas (src/eval_utils.py:1008-1134)
+on random features."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from keds_tpu.evalkit import metrics as M  # noqa: E402
+
+
+RNG = np.random.default_rng(0)
+
+
+def _feats(n, d=32):
+    x = RNG.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_coco_metrics():
+    image, ref = _feats(40), _feats(40)
+    ours = M.get_metrics_coco(image, ref, logit_scale=100.0)
+    # torch reference formula
+    logits_per_image = (100.0 * torch.from_numpy(image) @ torch.from_numpy(ref).t())
+    logits = {"image_to_ref": logits_per_image, "ref_to_image": logits_per_image.t()}
+    gt = torch.arange(40).view(-1, 1)
+    for name, logit in logits.items():
+        ranking = torch.argsort(logit, descending=True)
+        preds = torch.where(ranking == gt)[1].numpy()
+        assert ours[f"{name}_mean_rank"] == pytest.approx(preds.mean() + 1)
+        assert ours[f"{name}_median_rank"] == pytest.approx(np.floor(np.median(preds)) + 1)
+        for k in (1, 5, 10):
+            assert ours[f"{name}_R@{k}"] == pytest.approx(np.mean(preds < k))
+
+
+def test_fashion_metrics():
+    n_t, n_q = 30, 12
+    image = _feats(n_t)
+    ref = _feats(n_q)
+    target_names = [f"t{i}.png" for i in range(n_t)]
+    answers = [target_names[RNG.integers(0, n_t)] for _ in range(n_q)]
+    ours = M.get_metrics_fashion(image, ref, target_names, answers)
+    distances = 1 - torch.from_numpy(ref) @ torch.from_numpy(image).t()
+    sorted_idx = torch.argsort(distances, dim=-1).numpy()
+    sorted_names = np.array(target_names)[sorted_idx]
+    labels = sorted_names == np.array(answers)[:, None]
+    for k in (1, 5, 10):
+        assert ours[f"R@{k}"] == pytest.approx(labels[:, :k].sum() / n_q * 100)
+
+
+def test_fashion_metrics_asserts_single_gt():
+    image = _feats(5)
+    with pytest.raises(AssertionError):
+        M.get_metrics_fashion(image, _feats(2), ["a"] * 5, ["a", "a"])
+
+
+def test_cirr_metrics_mask_reference():
+    """The query's own reference image must be excluded from the ranking."""
+    n_t = 20
+    image = _feats(n_t)
+    target_names = [f"img{i}.png" for i in range(n_t)]
+    # query 0's composed feature == reference image 3's feature: without
+    # masking, img3 would rank first; with masking it must be removed.
+    ref = image[[3, 7]].copy()
+    reference_names = ["img3.png", "img5.png"]
+    answers = ["img4.png", "img7.png"]
+    ours = M.get_metrics_cirr(image, ref, reference_names,
+                              [os.path.join("/corpus", t) for t in target_names],
+                              answers)
+    assert 0 <= ours["recall_R@1"] <= 100
+    # query 1 matches its answer exactly -> must be R@1 hit
+    assert ours["recall_R@1"] >= 50.0
+
+
+import os  # noqa: E402
+
+
+def test_cirr_testoutput_format():
+    n_t = 60
+    image = _feats(n_t)
+    names = [f"i{i:02d}.png" for i in range(n_t)]
+    ref = _feats(2)
+    out = M.get_cirr_testoutput(image, ref, ["i00.png", "i01.png"], names, [11, 22])
+    assert out["version"] == "rc2" and out["metric"] == "recall"
+    assert len(out["11"]) == 50 and len(out["22"]) == 50
+    assert not any(n.endswith(".png") for n in out["11"])
+    assert "i00" not in out["11"]  # reference removed
+
+
+def test_imgnet_metrics_against_torch_formula():
+    n_q, n_t, n_cls = 150, 80, 7000
+    q = _feats(n_q)
+    t = _feats(n_t)
+    ql = RNG.integers(0, 50, n_q)
+    tl = RNG.integers(0, 50, n_t)
+    ours = M.get_metrics_imgnet(q, t, ql, tl)
+    # torch transcription
+    qf, tf = torch.from_numpy(q), torch.from_numpy(t)
+    q1 = F.one_hot(torch.from_numpy(ql), n_cls).float()
+    t1 = F.one_hot(torch.from_numpy(tl), n_cls).float()
+    ks = (1, 5, 10, 50, 100, 200)
+    exp = {f"Real2Sketch_R@{k}": 0.0 for k in ks}
+    exp.update({f"Real2Sketch_P@{k}": 0.0 for k in ks})
+    for s in range(0, n_q, 100):
+        feats, labels = qf[s:s+100], q1[s:s+100]
+        logits = feats @ tf.t()
+        lm = labels @ t1.t()
+        ranking = torch.argsort(logits, descending=True)
+        for k in ks:
+            mk = torch.zeros_like(lm)
+            mk[torch.arange(mk.size(0)).unsqueeze(1), ranking[:, :k]] = 1
+            cons = mk * lm
+            nc, npred, ntot = cons.sum(1), mk.sum(1), lm.sum(1)
+            exp[f"Real2Sketch_R@{k}"] += float(torch.mean(nc / (ntot + 1e-5))) * len(feats)
+            exp[f"Real2Sketch_P@{k}"] += float(torch.mean(nc / npred)) * len(feats)
+    for k in ks:
+        exp[f"Real2Sketch_R@{k}"] /= n_q
+        exp[f"Real2Sketch_P@{k}"] /= n_q
+    for key in exp:
+        assert ours[key] == pytest.approx(exp[key], rel=1e-5), key

@@ -1,0 +1,128 @@
+"""Retrieval engine tests: XLA vs numpy, Pallas kernel (interpret mode on
+CPU), and the mesh-sharded merge on the 8-device virtual mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keds_tpu.ops.topk import mips_topk, mips_topk_fused, mips_topk_sharded
+from keds_tpu.parallel.mesh import make_mesh
+from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+
+
+def _make_db(n=1000, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.standard_normal((n, d)).astype(np.float32)
+    txt = rng.standard_normal((n, d)).astype(np.float32)
+    return img, txt
+
+
+def _np_topk(q, db, k):
+    scores = q @ db.T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(scores, idx, axis=1)
+    return vals, idx
+
+
+def test_mips_topk_matches_numpy():
+    img, _ = _make_db()
+    q = np.random.default_rng(1).standard_normal((7, 64)).astype(np.float32)
+    vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(img), 16)
+    ref_vals, ref_idx = _np_topk(q, img, 16)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+@pytest.mark.parametrize("n,b", [(1000, 7), (2048, 128), (3000, 33)])
+def test_pallas_fused_matches_xla(n, b):
+    img, _ = _make_db(n=n)
+    q = np.random.default_rng(2).standard_normal((b, 64)).astype(np.float32)
+    vals, idx = mips_topk_fused(jnp.asarray(q), jnp.asarray(img), 16,
+                                block_q=32, block_n=256, interpret=True)
+    ref_vals, ref_idx = _np_topk(q, img, 16)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+    # indices can differ on exact score ties only; values determine parity
+    mismatch = np.asarray(idx) != ref_idx
+    if mismatch.any():
+        np.testing.assert_allclose(
+            np.asarray(vals)[mismatch], ref_vals[mismatch], rtol=1e-6, atol=1e-6
+        )
+
+
+def test_sharded_matches_global():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    img, _ = _make_db(n=4096)
+    q = np.random.default_rng(3).standard_normal((9, 64)).astype(np.float32)
+    gvals, gidx = mips_topk(jnp.asarray(q), jnp.asarray(img), 16)
+    svals, sidx = mips_topk_sharded(jnp.asarray(q), jnp.asarray(img), 16, mesh)
+    np.testing.assert_allclose(np.asarray(svals), np.asarray(gvals), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sidx), np.asarray(gidx))
+
+
+def test_sharded_with_padding():
+    """DB size not divisible by the mesh: sharding pads with zero rows, which
+    can never win against real unit-norm rows for normalized queries."""
+    mesh = make_mesh()
+    img, txt = _make_db(n=1003)
+    db = KnowledgeDB.from_arrays(img, txt, dtype=jnp.float32).shard_over(mesh)
+    r = Retriever(db, mesh=mesh, sharded=True)
+    q = np.random.default_rng(4).standard_normal((5, 64)).astype(np.float32)
+    ti, tt = r.retrieve_features(jnp.asarray(q), k=16, rng=None)
+    assert ti.shape == (5, 16, 64) and tt.shape == (5, 16, 64)
+    # compare against replicated retrieval
+    db_rep = KnowledgeDB.from_arrays(img, txt, dtype=jnp.float32)
+    r2 = Retriever(db_rep)
+    ti2, tt2 = r2.retrieve_features(jnp.asarray(q), k=16, rng=None)
+    np.testing.assert_allclose(np.asarray(ti), np.asarray(ti2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tt), np.asarray(tt2), rtol=1e-5, atol=1e-5)
+
+
+def test_retrieve_features_semantics():
+    """Gathered rows must be the DB rows at the top-k indices; image-side
+    shuffle is a permutation of the same 16 neighbors (reference
+    src/trainer.py:213-227)."""
+    img, txt = _make_db(n=500)
+    db = KnowledgeDB.from_arrays(img, txt, dtype=jnp.float32)
+    r = Retriever(db)
+    q = np.random.default_rng(5).standard_normal((4, 64)).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ref_vals, ref_idx = _np_topk(qn, np.asarray(db.image_db), 16)
+
+    no_shuffle, _ = r.retrieve_features(jnp.asarray(q), k=16, rng=None)
+    np.testing.assert_allclose(
+        np.asarray(no_shuffle), np.asarray(db.image_db)[ref_idx], rtol=1e-5, atol=1e-5
+    )
+    shuffled, _ = r.retrieve_features(jnp.asarray(q), k=16, rng=jax.random.key(0))
+    # same multiset of neighbors, same permutation across the batch
+    a = np.sort(np.asarray(no_shuffle), axis=1)
+    b = np.sort(np.asarray(shuffled), axis=1)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_retrieval_is_jittable_and_composes():
+    img, txt = _make_db(n=512)
+    db = KnowledgeDB.from_arrays(img, txt, dtype=jnp.float32)
+    r = Retriever(db)
+
+    @jax.jit
+    def step(feat, key):
+        ti, tt = r.retrieve_features(feat, k=16, rng=key)
+        return ti.mean() + tt.mean()
+
+    out = step(jnp.ones((8, 64)), jax.random.key(1))
+    assert np.isfinite(float(out))
+
+
+def test_caption_neighbors_and_names():
+    img, txt = _make_db(n=100)
+    names = [f"img_{i:03d}.jpg" for i in range(100)]
+    db = KnowledgeDB.from_arrays(img, txt, names=names, dtype=jnp.float32)
+    r = Retriever(db)
+    q = np.random.default_rng(6).standard_normal((3, 64)).astype(np.float32)
+    feats, idx = r.retrieve_caption_neighbors(jnp.asarray(q), k=2)
+    assert feats.shape == (3, 2, 64)
+    got = r.names_for(np.asarray(idx))
+    assert len(got) == 6 and all(n in names for n in got)
