@@ -1,0 +1,160 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: **composed queries / sec / chip** on the flagship pipeline
+(BASELINE.json config 3): CLIP ViT-L/14 image encode -> top-16 MIPS retrieval
+over the 0.5M x 768 bi-modality knowledge DB -> dual-stream fusion -> frozen
+text-tower compose.  This is the reference's core inference primitive
+(SURVEY.md §3.5), fully jitted in bf16.
+
+``vs_baseline`` divides by an analytic estimate of the reference
+PyTorch+Faiss pipeline on one A100 — the repo publishes no numbers
+(BASELINE.md), so the estimate is derived from first principles and kept
+fixed across rounds so the ratio is comparable:
+
+  per batch of 64 composed queries on A100 (fp16):
+    ViT-L/14 encode  ~162 GFLOP/img -> 312 TFLOPS @ 40% MFU  ~ 83 ms
+    faiss L2 scan    2 x (64 x 0.5M x 768) w/ GPU<->CPU hop   ~ 10 ms
+    fusion + text tower + host glue                           ~ 10 ms
+  => ~64 / 0.103 s  ~ 620 q/s theoretical; with the reference's per-step
+     host round-trips and unpipelined eval loop, ~400 q/s is a generous
+     realistic figure.  A100_BASELINE_QPS = 400.
+
+Stage timings (image encode, retrieval xla vs pallas, fusion+compose) are
+printed to stderr for diagnosis; stdout carries exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_QPS = 400.0
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _sync(x) -> float:
+    """Force completion by fetching one scalar to host.  On the axon tunnel
+    ``block_until_ready`` does NOT block; a data fetch is the only reliable
+    barrier."""
+    import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
+
+def timeit_chain(step, state, iters: int, warmup: int = 2):
+    """Time ``state -> step(state) -> ...`` with a data dependency between
+    iterations (prevents async dispatch from hiding execution) and a single
+    scalar fetch at the end (one tunnel RTT amortized over ``iters``)."""
+    for _ in range(warmup):
+        state = step(state)
+    _sync(state)
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(iters):
+        s = step(s)
+    _sync(s)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="small DB / few iters")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--db-rows", type=int, default=None)
+    p.add_argument("--iters", type=int, default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from keds_tpu.models import clip as mclip
+    from keds_tpu.models.composition import compose_pseudo_tokens
+    from keds_tpu.ops.topk import mips_topk, mips_topk_fused
+    from keds_tpu.retrieval.database import Retriever
+    import __graft_entry__ as ge
+
+    quick = args.quick
+    batch = args.batch or (32 if quick else 128)
+    db_rows = args.db_rows or (50_000 if quick else 500_000)
+    iters = args.iters or (5 if quick else 20)
+    dtype = jnp.bfloat16
+    cfg = mclip.VIT_L_14
+
+    log(f"bench: devices={jax.devices()} batch={batch} db_rows={db_rows} iters={iters}")
+    clip_params, heads, db = ge._build(cfg, db_rows=db_rows, dtype=dtype)
+    retriever = Retriever(db, backend="pallas")
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), dtype)
+    text = np.zeros((batch, 77), np.int32)
+    text[:, :8] = [49406, 320, 1125, 539, 265, 267, 1929, 49407]
+    text = jnp.asarray(text)
+
+    # --- stage timings (stderr) -------------------------------------------
+    # Big arrays (CLIP params, DB) are always jit ARGUMENTS, never closures.
+    # Each timed step returns a tensor that feeds the next iteration's input,
+    # serializing execution (see timeit_chain).
+    @jax.jit
+    def enc_step(cp, im):
+        f = mclip.encode_image(cp, cfg, im)
+        return im + (jnp.sum(f) * 1e-30).astype(im.dtype)
+
+    t_enc = timeit_chain(lambda im: enc_step(clip_params, im), images, iters)
+    log(f"stage encode_image: {t_enc*1e3:.2f} ms/batch ({batch/t_enc:.0f} img/s)")
+
+    enc = jax.jit(lambda cp, im: mclip.encode_image(cp, cfg, im))
+    feats = enc(clip_params, images).astype(jnp.float32)
+    q = feats / jnp.linalg.norm(feats, axis=1, keepdims=True)
+    qb = q.astype(db.image_db.dtype)
+
+    @jax.jit
+    def retr_step_xla(q_, d_):
+        vals, _ = mips_topk(q_, d_, 16)
+        return q_ + (jnp.sum(vals) * 1e-30).astype(q_.dtype)
+
+    @jax.jit
+    def retr_step_pallas(q_, d_):
+        vals, _ = mips_topk_fused(q_, d_, 16)
+        return q_ + (jnp.sum(vals) * 1e-30).astype(q_.dtype)
+
+    t_xla = timeit_chain(lambda s: retr_step_xla(s, db.image_db), qb, iters)
+    t_pal = timeit_chain(lambda s: retr_step_pallas(s, db.image_db), qb, iters)
+    log(f"stage retrieval (1 modality, {db_rows} rows): xla {t_xla*1e3:.2f} ms, pallas {t_pal*1e3:.2f} ms")
+
+    # --- headline: full composed-query pipeline ---------------------------
+    @jax.jit
+    def composed_step(clip_params, heads, db_img, db_txt, images, text):
+        f = mclip.encode_image(clip_params, cfg, images)
+        ti, tt = retriever.retrieve_features(
+            f.astype(jnp.float32), k=16, db_arrays=(db_img, db_txt)
+        )
+        tok = compose_pseudo_tokens(heads, f, ti.astype(f.dtype), tt.astype(f.dtype),
+                                    train=False)
+        out = mclip.encode_text_img_retrieval(clip_params, cfg, text, tok, split_id=265)
+        out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+        return images + (jnp.sum(out) * 1e-30).astype(images.dtype)
+
+    t = timeit_chain(
+        lambda im: composed_step(clip_params, heads, db.image_db, db.text_db, im, text),
+        images, iters,
+    )
+    qps = batch / t
+    log(f"composed query pipeline: {t*1e3:.2f} ms/batch -> {qps:.1f} q/s/chip")
+
+    print(json.dumps({
+        "metric": "composed_queries_per_sec_per_chip",
+        "value": round(qps, 2),
+        "unit": "query/s",
+        "vs_baseline": round(qps / A100_BASELINE_QPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

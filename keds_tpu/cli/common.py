@@ -1,0 +1,112 @@
+"""Shared CLI plumbing: experiment naming/dirs, logging, writers, DB/mesh
+setup (reference boilerplate from src/main.py:360-442 / eval_retrieval.py)."""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import List, Optional
+
+import jax
+
+from keds_tpu.config import Config
+from keds_tpu.logging_utils import dump_params, setup_logging
+from keds_tpu.parallel.mesh import make_mesh, maybe_init_distributed
+
+
+def experiment_name(cfg: Config) -> str:
+    if cfg.name:
+        return cfg.name
+    name = (f"lr={cfg.lr}_wd={cfg.wd}_agg={cfg.aggregate}_model={cfg.model}"
+            f"_batchsize={cfg.batch_size}_workers={cfg.workers}")
+    if cfg.time_suffix:
+        name += time.strftime("_date=%Y-%m-%d-%H-%M-%S", time.gmtime())
+    return name.replace("/", "-")
+
+
+def setup_experiment(cfg: Config, require_fresh: bool = True) -> Config:
+    cfg.name = experiment_name(cfg)
+    log_dir = os.path.join(cfg.logs, cfg.name)
+    cfg.log_path = os.path.join(log_dir, "out.log")  # type: ignore[attr-defined]
+    cfg.checkpoint_path = os.path.join(log_dir, "checkpoints")  # type: ignore[attr-defined]
+    cfg.tensorboard_path = os.path.join(log_dir, "tensorboard")  # type: ignore[attr-defined]
+    if require_fresh and os.path.exists(cfg.log_path) and cfg.resume is None:
+        raise SystemExit(
+            f"Error. Experiment already exists at {log_dir}. Use --name for a new one."
+        )
+    os.makedirs(cfg.checkpoint_path, exist_ok=True)
+    level = logging.DEBUG if cfg.debug else logging.INFO
+    setup_logging(cfg.log_path, level, rank=jax.process_index())
+    dump_params(cfg, os.path.join(log_dir, "params.txt"))
+    return cfg
+
+
+def setup_runtime(cfg: Config):
+    """Distributed init + mesh + precision config."""
+    maybe_init_distributed(cfg)
+    if cfg.precision == "fp32":
+        jax.config.update("jax_default_matmul_precision", "highest")
+    mesh = make_mesh(cfg.num_partitions)
+    cfg.world_size = mesh.devices.size
+    logging.info("mesh: %d device(s) on axis 'data' (%s)", mesh.devices.size,
+                 jax.default_backend())
+    return mesh
+
+
+def compute_dtype(cfg: Config):
+    import jax.numpy as jnp
+
+    # amp/fp16 both map to bf16 on TPU (no GradScaler needed, PARITY.md).
+    return jnp.float32 if cfg.precision == "fp32" else jnp.bfloat16
+
+
+class ScalarWriters:
+    """Fan-out scalar logging: JSONL always; TensorBoard/wandb when available
+    and requested (reference src/main.py:295-314)."""
+
+    def __init__(self, cfg: Config):
+        self.sinks: List = []
+        log_dir = os.path.join(cfg.logs, cfg.name)
+        self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+        report = cfg.report_to or ""
+        if ("tensorboard" in report or "all" in report):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                tb = SummaryWriter(cfg.tensorboard_path)
+                self.sinks.append(lambda s, step: [tb.add_scalar(k, v, step) for k, v in s.items()])
+            except Exception as e:  # pragma: no cover
+                logging.warning("tensorboard unavailable: %s", e)
+        if ("wandb" in report or "all" in report):
+            try:
+                import wandb
+
+                wandb.init(project="zcomp", notes=cfg.wandb_notes, config=vars(cfg))
+                self.sinks.append(lambda s, step: wandb.log({**s, "step": step}))
+            except Exception as e:  # pragma: no cover
+                logging.warning("wandb unavailable: %s", e)
+
+    def __call__(self, scalars: dict, step: int) -> None:
+        self._jsonl.write(json.dumps({"step": step, **scalars}) + "\n")
+        self._jsonl.flush()
+        for sink in self.sinks:
+            sink(scalars, step)
+
+
+def load_database(cfg: Config, mesh=None):
+    """Load the knowledge DB and wrap a Retriever per the distribution flags."""
+    import jax.numpy as jnp
+
+    from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+
+    dtype = jnp.float32 if cfg.precision == "fp32" else jnp.bfloat16
+    db = KnowledgeDB.from_config(cfg, dtype=dtype)
+    sharded = bool(cfg.db_shard and mesh is not None and mesh.devices.size > 1)
+    if sharded:
+        db = db.shard_over(mesh)
+    backend = cfg.retrieval_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+    return Retriever(db, backend=backend, mesh=mesh, sharded=sharded)

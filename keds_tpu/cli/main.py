@@ -1,0 +1,162 @@
+"""Training CLI (reference ``src/main.py``).
+
+Trains the three heads (IM2TEXT + retrieval_fuse + text_condition) of one
+stream against a frozen CLIP on precomputed CC3M features, with the
+knowledge DB resident in device HBM and a fully jitted data-parallel step.
+
+    python -m keds_tpu.cli.main \
+        --train-data /path/to/features --dataset-type directory \
+        --clip-weights /path/to/ViT-L-14.pt --database-path /path/to/db \
+        --batch-size 128 --epochs 30 --warmup 10000 --lr 1e-4 --wd 0.1 \
+        --stream image
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from keds_tpu.cli.common import (
+        ScalarWriters,
+        compute_dtype,
+        load_database,
+        setup_experiment,
+        setup_runtime,
+    )
+    from keds_tpu.config import parse_args
+    from keds_tpu.data.datasets import FeaturePairDataset, build_other_tokens
+    from keds_tpu.data.loader import DataLoader
+    from keds_tpu.io.checkpoint import (
+        load_heads_checkpoint,
+        resolve_resume,
+        restore_opt_state,
+        save_train_checkpoint,
+    )
+    from keds_tpu.models import heads as mheads
+    from keds_tpu.models.composition import FusionHeads
+    from keds_tpu.models.loader import load_clip
+    from keds_tpu.tokenizer import star_token_id, tokenize
+    from keds_tpu.train.losses import TrainBatch
+    from keds_tpu.train.trainer import make_optimizer, make_train_step, train_epoch
+
+    cfg = parse_args(argv)
+    cfg = setup_experiment(cfg)
+    mesh = setup_runtime(cfg)
+    dtype = compute_dtype(cfg)
+    np.random.seed(cfg.seed)
+
+    # Frozen CLIP
+    clip_params, clip_cfg, _, _ = load_clip(cfg.clip_weights or cfg.model)
+    d = clip_cfg.embed_dim
+    tw = clip_cfg.transformer_width
+
+    # Heads (src/main.py:147-152)
+    k1, k2, k3 = jax.random.split(jax.random.key(cfg.seed), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, d, cfg.middle_dim, tw, n_layer=cfg.n_layer),
+        retrieval_fuse=mheads.init_crossformer(k2, tw, tw, tw, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, tw, tw, tw, num_layers=3),
+    )
+
+    retriever = load_database(cfg, mesh)
+
+    # Data: precomputed-feature pairs
+    dataset = FeaturePairDataset(cfg.train_data)
+    loader = DataLoader(
+        dataset, cfg.batch_size * mesh.devices.size, shuffle=True, seed=cfg.seed,
+        drop_last=True, num_workers=cfg.workers,
+        rank=jax.process_index(), world_size=jax.process_count(),
+    )
+    steps_per_epoch = loader.num_batches
+    total_steps = steps_per_epoch * cfg.epochs
+    optimizer, schedule = make_optimizer(cfg, total_steps)
+
+    # Neighbor-caption templates for the text stream, tokenized once for the
+    # whole DB and gathered by index on device (cached next to the DB).
+    db_other_tokens = None
+    if cfg.stream == "text":
+        cache = os.path.join(cfg.train_data, "db_other_tokens.npy")
+        if os.path.isfile(cache):
+            db_other_tokens = jnp.asarray(np.load(cache))
+        else:
+            logging.info("tokenizing neighbor templates for %d DB rows", retriever.db.size)
+            arr = build_other_tokens(retriever.db.names, dataset.other)
+            np.save(cache, arr)
+            db_other_tokens = jnp.asarray(arr)
+
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    heads = jax.device_put(heads, rep)
+    opt_state = jax.device_put(optimizer.init(heads), rep)
+
+    start_epoch = 0
+    resume = resolve_resume(cfg.resume, cfg.checkpoint_path)
+    if resume and os.path.isfile(resume):
+        heads, start_epoch = load_heads_checkpoint(resume)
+        heads = jax.device_put(jax.tree.map(jnp.asarray, heads), rep)
+        opt_state = jax.device_put(
+            restore_opt_state(resume, optimizer.init(heads)), rep
+        )
+        logging.info("resumed from %s at epoch %d", resume, start_epoch)
+
+    step_fn = make_train_step(
+        clip_params, clip_cfg, retriever, optimizer,
+        stream=cfg.stream,
+        prompt_tokens=tokenize("a photo of"),
+        split_id=star_token_id(),
+        grad_scale=1.0 / mesh.devices.size,
+        dropout=cfg.droprate,
+        db_topk=cfg.db_topk,
+        db_other_tokens=db_other_tokens,
+        compute_dtype=dtype,
+    )
+
+    writers = (ScalarWriters(cfg),) if jax.process_index() == 0 else ()
+
+    def batches():
+        for img, txt, _subject, other_tok in loader:
+            yield TrainBatch(
+                image_features=jax.device_put(jnp.asarray(img, jnp.float32), shard),
+                caption_features=jax.device_put(jnp.asarray(txt, jnp.float32), shard),
+                other_tokens=jax.device_put(jnp.asarray(other_tok), shard),
+            )
+
+    base_rng = jax.random.key(cfg.seed)
+    for epoch in range(start_epoch, cfg.epochs):
+        logging.info("Start epoch %d", epoch)
+        loader.set_epoch(epoch)
+        heads, opt_state = train_epoch(
+            step_fn, heads, opt_state, batches(), epoch, steps_per_epoch,
+            base_rng, schedule=schedule, writers=writers,
+            world_size=jax.process_count(),
+        )
+        if jax.process_index() == 0:
+            should_save = (epoch + 1) == cfg.epochs or (
+                cfg.save_frequency > 0 and (epoch + 1) % cfg.save_frequency == 0
+            )
+            if should_save:
+                save_train_checkpoint(
+                    os.path.join(cfg.checkpoint_path, f"epoch_{epoch + 1}.pt"),
+                    epoch=epoch + 1, name=cfg.name, clip_params=clip_params,
+                    clip_cfg=clip_cfg, heads=heads, opt_state=opt_state,
+                    fmt=cfg.checkpoint_format,
+                )
+            if cfg.save_most_recent:
+                save_train_checkpoint(
+                    os.path.join(cfg.checkpoint_path, "epoch_latest.pt"),
+                    epoch=epoch + 1, name=cfg.name, clip_params=clip_params,
+                    clip_cfg=clip_cfg, heads=heads, opt_state=opt_state,
+                    fmt=cfg.checkpoint_format,
+                )
+
+
+if __name__ == "__main__":
+    main()

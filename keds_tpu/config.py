@@ -82,6 +82,10 @@ class Config:
     skip_scheduler: bool = False
     precision: str = "amp"  # amp -> bf16 compute on TPU; fp16 -> bf16; fp32
     seed: int = 0
+    # streams / eval branches
+    stream: str = "image"  # which stream to train: image | text
+    image_branch: str = "./image_branch/checkpoints"
+    text_branch: str = "./text_branch/checkpoints"
     # checkpointing / logging
     logs: str = "./logs/"
     name: Optional[str] = None
@@ -177,6 +181,9 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
     add("--skip-scheduler", action="store_true", default=False)
     add("--precision", type=str, default="amp", choices=["amp", "fp16", "fp32", "bf16"])
     add("--seed", type=int, default=0)
+    add("--stream", type=str, default="image", choices=["image", "text"])
+    add("--image-branch", type=str, default="./image_branch/checkpoints")
+    add("--text-branch", type=str, default="./text_branch/checkpoints")
     add("--logs", type=str, default="./logs/")
     add("--name", type=str, default=None)
     add("--no-time-suffix", dest="time_suffix", action="store_false", default=True)

@@ -60,47 +60,59 @@ class EvalContext:
     _jit_cache: dict = field(default_factory=dict)
 
     def __post_init__(self):
-        cast = lambda a: a.astype(self.compute_dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a  # noqa: E731
+        cast = lambda a: jnp.asarray(a, self.compute_dtype) if jnp.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a)  # noqa: E731
         self.clip_c = jax.tree.map(cast, self.clip_params)
         self.split_id = star_token_id()
-        self.encode_image = jax.jit(
-            lambda imgs: mclip.encode_image(self.clip_c, self.cfg, imgs)
+        # CLIP params are jit arguments, not closures (closure constants are
+        # inlined into the HLO; remote-compile backends reject the result).
+        cfg = self.cfg
+        self._encode_image = jax.jit(
+            lambda cp, imgs: mclip.encode_image(cp, cfg, imgs)
         )
-        self.encode_text = jax.jit(
-            lambda text: mclip.encode_text(self.clip_c, self.cfg, text)
+        self._encode_text = jax.jit(
+            lambda cp, text: mclip.encode_text(cp, cfg, text)
         )
+
+    def encode_text(self, text) -> jax.Array:
+        return self._encode_text(self.clip_c, jnp.asarray(text))
 
     # -- cached query-side precomputation -----------------------------------
     def image_features(self, images) -> jax.Array:
-        return self.encode_image(jnp.asarray(images))
+        return self._encode_image(self.clip_c, jnp.asarray(images))
 
     def retrieved(self, feats: jax.Array):
-        return self.retriever.retrieve_features(feats, k=self.db_topk, rng=None)
+        return self.retriever.retrieve_features(
+            feats.astype(jnp.float32), k=self.db_topk, rng=None
+        )
 
     # -- head-dependent composition (jitted once; heads are arguments) ------
     def composed_fn(self, mode: str, use_text_condition: bool) -> Callable:
         key = (mode, use_text_condition)
         if key in self._jit_cache:
             return self._jit_cache[key]
+        cfg, split_id = self.cfg, self.split_id
 
-        def fn(heads: FusionHeads, feats, topk_img, topk_txt, text):
+        @jax.jit
+        def fn(clip_c, heads: FusionHeads, feats, topk_img, topk_txt, text):
             tokens = compose_pseudo_tokens(
                 heads, feats, topk_img, topk_txt,
                 use_text_condition=use_text_condition, train=False,
             )
             if mode == "retrieval":
                 out = mclip.encode_text_img_retrieval(
-                    self.clip_c, self.cfg, text, tokens, split_id=self.split_id
+                    clip_c, cfg, text, tokens, split_id=split_id
                 )
             else:  # in-place splice (Fashion-IQ)
                 out = mclip.encode_text_img_train(
-                    self.clip_c, self.cfg, text, tokens, split_id=self.split_id
+                    clip_c, cfg, text, tokens, split_id=split_id
                 )
             return _norm(out.astype(jnp.float32))
 
-        jitted = jax.jit(fn)
-        self._jit_cache[key] = jitted
-        return jitted
+        wrapped = lambda heads, feats, ti, tt, text: fn(  # noqa: E731
+            self.clip_c, heads, feats, ti, tt, text
+        )
+        self._jit_cache[key] = wrapped
+        return wrapped
 
     def load_heads(self, directory: str, epoch: int) -> FusionHeads:
         path = os.path.join(directory, f"epoch_{epoch}.pt")

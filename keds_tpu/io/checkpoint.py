@@ -45,6 +45,12 @@ def save_train_checkpoint(
         _save_orbax(path, epoch=epoch, name=name, heads=heads, opt_state=opt_state)
         return
     to_np = lambda t: jax.tree.map(np.asarray, t)  # noqa: E731
+    # Optimizer state is stored as flattened leaves so the .pt stays loadable
+    # without optax class definitions; restore via restore_opt_state().
+    opt_payload = {}
+    if opt_state is not None:
+        leaves = jax.tree.leaves(opt_state)
+        opt_payload = {"leaves": [np.asarray(l) for l in leaves]}
     payload = {
         "epoch": epoch,
         "name": name,
@@ -56,7 +62,7 @@ def save_train_checkpoint(
         "state_dict_text_condition": convert.crossformer_pytree_to_state_dict(
             to_np(heads.text_condition)
         ),
-        "optimizer": to_np(opt_state) if opt_state is not None else {},
+        "optimizer": opt_payload,
     }
     save_pt(payload, path)
     logging.info("saved checkpoint %s (epoch %d)", path, epoch)
@@ -87,6 +93,21 @@ def load_full_checkpoint(path: str):
     clip_params, cfg = convert.clip_state_dict_to_pytree(ckpt["state_dict"])
     heads, epoch = load_heads_checkpoint(path)
     return clip_params, cfg, heads, epoch
+
+
+def restore_opt_state(path: str, template_opt_state):
+    """Rebuild an optax state from saved flattened leaves using a freshly
+    initialized state as the structure template (reference restores the torch
+    optimizer dict, src/main.py:279-280)."""
+    ckpt = load_pt(path)
+    leaves = ckpt.get("optimizer", {}).get("leaves")
+    if not leaves:
+        return template_opt_state
+    treedef = jax.tree.structure(template_opt_state)
+    if treedef.num_leaves != len(leaves):
+        logging.warning("optimizer state in %s does not match; reinitializing", path)
+        return template_opt_state
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def resolve_resume(resume: Optional[str], checkpoint_dir: str) -> Optional[str]:

@@ -193,9 +193,12 @@ def save_pt(obj: Any, path: str) -> None:
             return torch.from_numpy(np.ascontiguousarray(x))
         if isinstance(x, dict):
             return {k: conv(v) for k, v in x.items()}
-        if isinstance(x, (list, tuple)):
+        if isinstance(x, tuple):
             seq = [conv(v) for v in x]
-            return type(x)(seq) if isinstance(x, tuple) else seq
+            # namedtuples (e.g. optax states) reconstruct positionally
+            return type(x)(*seq) if hasattr(x, "_fields") else tuple(seq)
+        if isinstance(x, list):
+            return [conv(v) for v in x]
         if hasattr(x, "dtype") and hasattr(x, "__array__"):  # jax arrays
             return conv(np.asarray(x))
         return x

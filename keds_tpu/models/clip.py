@@ -330,6 +330,97 @@ def encode_text_img_train(
     return _pool_project(params, x, eot)
 
 
+def random_masking(rng: jax.Array, x: jax.Array, mask_ratio: float):
+    """MAE-style per-sample random masking by shuffling with argsorted noise
+    (reference model.py:624-649).  Returns (kept tokens, binary mask,
+    restore indices); ``len_keep = int(L * (1 - mask_ratio))`` is static."""
+    N, L, D = x.shape
+    len_keep = max(int(L * (1.0 - mask_ratio)), 0)
+    noise = jax.random.uniform(rng, (N, L))
+    ids_shuffle = jnp.argsort(noise, axis=1)
+    ids_restore = jnp.argsort(ids_shuffle, axis=1)
+    ids_keep = ids_shuffle[:, :len_keep]
+    x_masked = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)
+    mask = jnp.ones((N, L), x.dtype).at[:, :len_keep].set(0)
+    mask = jnp.take_along_axis(mask, ids_restore, axis=1)
+    return x_masked, mask, ids_restore
+
+
+def _visual_tail(params: dict, x: jax.Array) -> jax.Array:
+    v = params["visual"]
+    cls = layer_norm(x[:, 0, :], v["ln_post_g"], v["ln_post_b"])
+    return jnp.dot(cls, v["proj"].astype(cls.dtype))
+
+
+def get_visual_composed_features(
+    params: dict,
+    cfg: ClipConfig,
+    text_feature: jax.Array,   # (B, D_text)
+    images: jax.Array,
+    img2text_cross,            # callable (q, k, v) -> (B, 1, vw): a CrossFormer
+    rng: jax.Array,
+    mask_ratio: float = 1.0,
+) -> jax.Array:
+    """Visual-invert composition (reference model.py:651-681 + the visual
+    transformer's ``text_feature`` branch, model.py:354-371): MAE-mask the
+    patch tokens (the live call uses mask_ratio=1 -> CLS token only), then at
+    layer N-6 add a cross-attention of the sequence against the text feature
+    into the CLS position."""
+    v = params["visual"]
+    x = vision_tokens(params, cfg, images)
+    x_masked, _, _ = random_masking(rng, x[:, 1:, :], mask_ratio)
+    x = jnp.concatenate([x[:, :1, :], x_masked], axis=1)
+    blocks = unstack_blocks(v["blocks"], cfg.vision_layers)
+    inject = cfg.vision_layers - 6
+    tf = text_feature[:, None, :]
+    for i, blk in enumerate(blocks):
+        if i == inject:
+            fused = img2text_cross(x, tf, tf)  # (B, 1, vw)
+            x = jnp.concatenate([x[:, :1] + fused, x[:, 1:]], axis=1)
+        x = residual_block(x, blk, cfg.vision_heads, None)
+    return _visual_tail(params, x)
+
+
+def get_visual_composed_features_eval(
+    params: dict,
+    cfg: ClipConfig,
+    text_feature: jax.Array,
+    images: jax.Array,
+    img2text_cross,
+    rng: jax.Array,
+    mask_ratio: float = 1.0,
+) -> jax.Array:
+    """Eval twin (reference model.py:683-733): runs the masked tower with the
+    text-feature injection and returns the projected CLS embedding."""
+    return get_visual_composed_features(
+        params, cfg, text_feature, images, img2text_cross, rng, mask_ratio
+    )
+
+
+def encode_text_img_vis(
+    params: dict,
+    cfg: ClipConfig,
+    text: jax.Array,
+    img_tokens: jax.Array,   # (B, D) or tuple of (B, D) for multiple '*'s
+    split_id: int,
+) -> jax.Array:
+    """Per-sample splice: each row's own ``*`` position is replaced in-place
+    by that row's image token (reference model.py:779-806; used by the demo
+    visualisation path).  Pooling stays at the original EOT."""
+    t = params["text"]
+    x = t["tok_emb"][text]
+    eot = eot_indices(text, cfg.eot_id)
+    toks = img_tokens if isinstance(img_tokens, tuple) else (img_tokens,)
+    is_star = (text == split_id).astype(jnp.int32)
+    # position of the n-th '*' per row
+    cum = jnp.cumsum(is_star, axis=1)
+    for n, tok in enumerate(toks):
+        pos = jnp.argmax((is_star == 1) & (cum == n + 1), axis=1)  # (B,)
+        x = splice_tokens(x, tok[:, None, :], pos, n_replace=1)
+    x = _text_transformer(params, cfg, x)
+    return _pool_project(params, x, eot)
+
+
 def get_text_mid_cross_feature(
     params: dict,
     cfg: ClipConfig,

@@ -171,32 +171,44 @@ class Retriever:
         k: int = 16,
         rng: Optional[jax.Array] = None,
         shuffle_image: bool = True,
+        db_arrays: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Top-k image and caption neighbor features for each query
         (reference get_retrieved_features).  ``rng`` drives the image-side
         neighbor permutation; None disables it (eval twin,
-        src/eval_utils.py:153-186, keeps it on — pass a key there too)."""
+        src/eval_utils.py:153-186, keeps it on — pass a key there too).
+
+        ``db_arrays=(image_db, text_db)`` lets jitted callers pass the DB as
+        traced *arguments* — required because closed-over arrays are embedded
+        as HLO constants (gigabytes of proto; the axon remote-compile path
+        rejects them outright)."""
+        image_db, text_db = db_arrays if db_arrays is not None else (
+            self.db.image_db, self.db.text_db
+        )
         q = feature / jnp.linalg.norm(feature, axis=1, keepdims=True)
-        q = q.astype(self.db.image_db.dtype)
-        _, img_idx = self.search(q, self.db.image_db, k)
-        topk_img = self._gather(self.db.image_db, img_idx)
+        q = q.astype(image_db.dtype)
+        _, img_idx = self.search(q, image_db, k)
+        topk_img = self._gather(image_db, img_idx)
         if shuffle_image and rng is not None:
             perm = jax.random.permutation(rng, k)
             topk_img = topk_img[:, perm, :]
-        _, txt_idx = self.search(q, self.db.text_db, k)
-        topk_txt = self._gather(self.db.text_db, txt_idx)
+        _, txt_idx = self.search(q, text_db, k)
+        topk_txt = self._gather(text_db, txt_idx)
         return topk_img.astype(feature.dtype), topk_txt.astype(feature.dtype)
 
     def retrieve_caption_neighbors(
-        self, feature: jax.Array, k: int = 2
+        self, feature: jax.Array, k: int = 2,
+        text_db: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Top-k caption features + their row indices (reference
         get_extra_cap_features, src/trainer.py:262-283; the caller maps
         indices to basenames on host)."""
+        if text_db is None:
+            text_db = self.db.text_db
         q = feature / jnp.linalg.norm(feature, axis=1, keepdims=True)
-        q = q.astype(self.db.text_db.dtype)
-        _, idx = self.search(q, self.db.text_db, k)
-        return self._gather(self.db.text_db, idx).astype(feature.dtype), idx
+        q = q.astype(text_db.dtype)
+        _, idx = self.search(q, text_db, k)
+        return self._gather(text_db, idx).astype(feature.dtype), idx
 
     def names_for(self, idx: np.ndarray) -> List[str]:
         flat = np.asarray(idx).reshape(-1)

@@ -91,13 +91,19 @@ def make_train_step(
         clip_params,
     )
     # Keep logit_scale in f32 (it feeds the f32 logits).
-    clip_c["logit_scale"] = clip_params["logit_scale"].astype(jnp.float32)
+    clip_c["logit_scale"] = jnp.asarray(clip_params["logit_scale"], jnp.float32)
+    db_img, db_txt = retriever.db.image_db, retriever.db.text_db
+    if db_other_tokens is None:
+        # static placeholder so the jit signature is uniform across streams
+        db_other_tokens = jnp.zeros((1, prompt.shape[1]), jnp.int32)
 
-    def loss_fn(heads: FusionHeads, batch: TrainBatch, rng: jax.Array):
+    def loss_fn(heads: FusionHeads, batch: TrainBatch, rng: jax.Array,
+                clip_c, db_img, db_txt, db_other):
         r_shuffle, r_drop = jax.random.split(rng)
         feats = batch.image_features
         topk_img, topk_txt = retriever.retrieve_features(
-            feats, k=db_topk, rng=r_shuffle, shuffle_image=True
+            feats, k=db_topk, rng=r_shuffle, shuffle_image=True,
+            db_arrays=(db_img, db_txt),
         )
         if stream == "image":
             loss = image_stream_loss(
@@ -107,8 +113,10 @@ def make_train_step(
         elif stream == "text":
             caps = batch.caption_features
             caps_n = caps / jnp.linalg.norm(caps, axis=-1, keepdims=True)
-            top2_feats, top2_idx = retriever.retrieve_caption_neighbors(caps_n, k=2)
-            top2_tokens = db_other_tokens[jnp.clip(top2_idx, 0, db_other_tokens.shape[0] - 1)]
+            top2_feats, top2_idx = retriever.retrieve_caption_neighbors(
+                caps_n, k=2, text_db=db_txt
+            )
+            top2_tokens = db_other[jnp.clip(top2_idx, 0, db_other.shape[0] - 1)]
             loss = text_stream_loss(
                 heads, clip_c, cfg, batch, topk_img, topk_txt,
                 top2_feats, top2_tokens, split_id=split_id,
@@ -118,12 +126,22 @@ def make_train_step(
             raise ValueError(f"unknown stream {stream!r}")
         return loss * grad_scale, loss
 
+    # CLIP params and DB arrays enter as jit ARGUMENTS (not closures): closure
+    # constants are inlined into the compiled program (huge HLO; rejected by
+    # remote-compile backends) and defeat compile-cache reuse.
     @jax.jit
-    def train_step(heads, opt_state, batch: TrainBatch, rng: jax.Array):
-        grads, loss = jax.grad(loss_fn, has_aux=True)(heads, batch, rng)
+    def _step(heads, opt_state, batch: TrainBatch, rng: jax.Array,
+              clip_c, db_img, db_txt, db_other):
+        grads, loss = jax.grad(loss_fn, has_aux=True)(
+            heads, batch, rng, clip_c, db_img, db_txt, db_other
+        )
         updates, opt_state = optimizer.update(grads, opt_state, heads)
         heads = optax.apply_updates(heads, updates)
         return heads, opt_state, loss
+
+    def train_step(heads, opt_state, batch: TrainBatch, rng: jax.Array):
+        return _step(heads, opt_state, batch, rng, clip_c, db_img, db_txt,
+                     db_other_tokens)
 
     return train_step
 

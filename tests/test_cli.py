@@ -1,0 +1,160 @@
+"""CLI smoke tests: flag surface, training one epoch end-to-end on synthetic
+precomputed features, and the demo pipeline producing HTML."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytest.importorskip("torch")
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from keds_tpu.config import parse_args  # noqa: E402
+
+
+def test_parse_args_reference_flag_surface():
+    cfg = parse_args([
+        "--train-data", "/x", "--dataset-type", "directory",
+        "--batch-size", "128", "--epochs", "30", "--warmup", "10000",
+        "--lr", "1e-4", "--wd", "0.1", "--workers", "6",
+        "--model", "ViT-L/14", "--openai-pretrained", "--skip-aggregate",
+    ])
+    assert cfg.batch_size == 128 and cfg.epochs == 30
+    assert cfg.lr == pytest.approx(1e-4)
+    assert cfg.aggregate is False
+    # model-conditional defaults (reference get_default_params)
+    assert cfg.beta2 == 0.98 and cfg.eps == 1e-6
+
+
+def test_parse_args_model_defaults():
+    cfg = parse_args(["--model", "RN50"])
+    assert cfg.lr == 5.0e-4 and cfg.beta2 == 0.999 and cfg.eps == 1e-8
+
+
+def _write_clip_ckpt(tmp_path, d=64):
+    from keds_tpu.io.checkpoint import save_train_checkpoint
+    from keds_tpu.models import clip as mclip, heads as mheads
+    from keds_tpu.models.composition import FusionHeads
+
+    cfg = mclip.ClipConfig(
+        embed_dim=d, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=d, transformer_heads=1,
+        transformer_layers=2,
+    )
+    params = mclip.init_clip(jax.random.key(0), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, d, 48, d),
+        retrieval_fuse=mheads.init_crossformer(k2, d, d, d, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, d, d, d, num_layers=3),
+    )
+    path = str(tmp_path / "clip_ckpt.pt")
+    save_train_checkpoint(path, epoch=1, name="t", clip_params=params,
+                          clip_cfg=cfg, heads=heads)
+    return path, cfg
+
+
+def test_train_cli_one_epoch(tmp_path):
+    """Full training CLI on synthetic packed features + a synthetic DB."""
+    from keds_tpu.cli.main import main as train_main
+    from keds_tpu.io.pt import save_pt
+
+    d = 64
+    ckpt, cfg = _write_clip_ckpt(tmp_path)
+    rng = np.random.default_rng(0)
+    # packed feature dataset
+    feat_dir = tmp_path / "features"
+    feat_dir.mkdir()
+    n = 32
+    np.save(feat_dir / "image_features.npy", rng.standard_normal((n, d)).astype(np.float32))
+    np.save(feat_dir / "text_features.npy", rng.standard_normal((n, d)).astype(np.float32))
+    names = [f"s{i}" for i in range(n)]
+    (feat_dir / "names.json").write_text(json.dumps(names))
+    (feat_dir / "cc_subject.json").write_text(json.dumps({m: "a thing" for m in names}))
+    (feat_dir / "cc_other.json").write_text(json.dumps({m: "* on a table" for m in names}))
+    # knowledge DB in reference .pt format
+    db_dir = tmp_path / "db"
+    db_dir.mkdir()
+    save_pt(np.float32(rng.standard_normal((64, d))), str(db_dir / "cc_image_databases.pt"))
+    save_pt(np.float32(rng.standard_normal((64, d))), str(db_dir / "cc_text_databases.pt"))
+    (db_dir / "database_names.txt").write_text("\n".join(f"n{i}.jpg" for i in range(64)))
+
+    logs = tmp_path / "logs"
+    train_main([
+        "--train-data", str(feat_dir), "--dataset-type", "directory",
+        "--clip-weights", ckpt, "--database-path", str(db_dir),
+        "--batch-size", "8", "--epochs", "1", "--warmup", "2",
+        "--lr", "1e-3", "--wd", "0.1", "--precision", "fp32",
+        "--logs", str(logs), "--name", "smoke", "--db-topk", "4",
+        "--stream", "image",
+    ])
+    out = logs / "smoke" / "checkpoints" / "epoch_1.pt"
+    assert out.is_file()
+    from keds_tpu.io.checkpoint import load_heads_checkpoint
+
+    heads, epoch = load_heads_checkpoint(str(out))
+    assert epoch == 1
+
+
+def test_train_cli_text_stream(tmp_path):
+    from keds_tpu.cli.main import main as train_main
+    from keds_tpu.io.pt import save_pt
+
+    d = 64
+    ckpt, _ = _write_clip_ckpt(tmp_path)
+    rng = np.random.default_rng(1)
+    feat_dir = tmp_path / "features"
+    feat_dir.mkdir()
+    n = 16
+    np.save(feat_dir / "image_features.npy", rng.standard_normal((n, d)).astype(np.float32))
+    np.save(feat_dir / "text_features.npy", rng.standard_normal((n, d)).astype(np.float32))
+    names = [f"s{i}" for i in range(n)]
+    (feat_dir / "names.json").write_text(json.dumps(names))
+    (feat_dir / "cc_other.json").write_text(json.dumps({m: "* in the snow" for m in names}))
+    db_dir = tmp_path / "db"
+    db_dir.mkdir()
+    save_pt(np.float32(rng.standard_normal((32, d))), str(db_dir / "cc_image_databases.pt"))
+    save_pt(np.float32(rng.standard_normal((32, d))), str(db_dir / "cc_text_databases.pt"))
+    (db_dir / "database_names.txt").write_text("\n".join(f"s{i}" for i in range(32)))
+    train_main([
+        "--train-data", str(feat_dir), "--dataset-type", "directory",
+        "--clip-weights", ckpt, "--database-path", str(db_dir),
+        "--batch-size", "8", "--epochs", "1", "--warmup", "2",
+        "--lr", "1e-3", "--precision", "fp32",
+        "--logs", str(tmp_path / "logs"), "--name", "smoke_text",
+        "--db-topk", "4", "--stream", "text",
+    ])
+    assert (tmp_path / "logs" / "smoke_text" / "checkpoints" / "epoch_1.pt").is_file()
+
+
+def test_demo_cli(tmp_path, monkeypatch):
+    from keds_tpu.cli.demo import main as demo_main
+
+    ckpt, _ = _write_clip_ckpt(tmp_path)
+    rng = np.random.default_rng(2)
+    corpus_dir = tmp_path / "data" / "coco" / "val2017"
+    corpus_dir.mkdir(parents=True)
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+            corpus_dir / f"c{i}.jpg"
+        )
+    query = tmp_path / "query.jpg"
+    Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(query)
+    monkeypatch.chdir(tmp_path)
+    demo_main([
+        "--retrieval-data", "coco", "--root-data", str(tmp_path / "data"),
+        "--query_file", str(query), "--prompts", "a cartoon of *",
+        "--resume", ckpt, "--demo-out", str(tmp_path / "demo"),
+        "--precision", "fp32", "--logs", str(tmp_path / "logs"),
+        "--name", "demo_smoke", "--batch-size", "4",
+    ])
+    index = tmp_path / "demo" / "index.html"
+    assert index.is_file()
+    html = index.read_text()
+    assert "a cartoon of *" in html and "<img" in html
