@@ -1,0 +1,224 @@
+"""Tar-shard streaming dataset (torch/webdataset-free).
+
+Rebuild of the reference's WebDataset pipeline (``src/data.py:78-231,
+875-953``): brace-expanded shard lists, shard + sample shuffling, grouping of
+tar members into samples by key prefix (non-throwing, tolerating duplicate
+suffixes across shard boundaries like the reference's
+``group_by_keys_nothrow``), sample decoding with log-and-continue fault
+tolerance, node/worker splitting, and fixed-size batching with a
+``with_epoch``-style batch budget.
+
+The reference feeds ``{00000..00331}.tar`` CC3M shards with an external
+caption map (``cc3m_have*.pkl``); here the caption map is any
+``{key: caption}`` mapping supplied by the caller.
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+import os
+import random
+import re
+import tarfile
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def braceexpand(pattern: str) -> List[str]:
+    """Expand one ``{00000..00099}`` (or ``{a,b,c}``) range in a shard URL."""
+    m = re.search(r"\{(\d+)\.\.(\d+)\}", pattern)
+    if m:
+        lo, hi = m.group(1), m.group(2)
+        width = len(lo)
+        return [
+            pattern[: m.start()] + str(i).zfill(width) + pattern[m.end():]
+            for i in range(int(lo), int(hi) + 1)
+        ]
+    m = re.search(r"\{([^{}]*,[^{}]*)\}", pattern)
+    if m:
+        return [
+            pattern[: m.start()] + part + pattern[m.end():]
+            for part in m.group(1).split(",")
+        ]
+    return [pattern]
+
+
+def base_plus_ext(path: str):
+    """Split 'dir/abc.image_byte' -> ('dir/abc', 'image_byte') (lowercased
+    extension); None for hidden/invalid members."""
+    m = re.match(r"^((?:.*/)?[^.]+)\.([^/]*)$", path)
+    if not m:
+        return None, None
+    return m.group(1), m.group(2).lower()
+
+
+def group_tar_samples(members: Iterable, handler=None) -> Iterator[Dict[str, bytes]]:
+    """Group (name, bytes) pairs into {'__key__', suffix: bytes} samples.
+    A repeated suffix starts a new sample instead of raising (the reference's
+    nothrow grouping, src/data.py:88-120)."""
+    current: Optional[Dict[str, object]] = None
+    for fname, data in members:
+        prefix, suffix = base_plus_ext(fname)
+        if prefix is None:
+            continue
+        if current is None or prefix != current["__key__"] or suffix in current:
+            if current is not None and len(current) > 1:
+                yield current  # type: ignore[misc]
+            current = {"__key__": prefix}
+        current[suffix] = data
+    if current is not None and len(current) > 1:
+        yield current  # type: ignore[misc]
+
+
+def iter_tar(path: str, handler=None) -> Iterator:
+    try:
+        with tarfile.open(path, mode="r|*") as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                f = tf.extractfile(member)
+                if f is None:
+                    continue
+                yield os.path.basename(member.name), f.read()
+    except Exception as exn:  # log-and-continue (src/data.py:83-86)
+        if handler is None or handler(exn):
+            logging.warning("tar stream error in %s (%r); continuing", path, exn)
+        else:
+            raise
+
+
+class ShuffleBuffer:
+    """Streaming reservoir shuffle (webdataset-style bufsize/initial)."""
+
+    def __init__(self, bufsize: int, initial: int, rng: random.Random):
+        self.bufsize, self.initial, self.rng = bufsize, initial, rng
+
+    def __call__(self, src: Iterable) -> Iterator:
+        buf: List = []
+        for sample in src:
+            buf.append(sample)
+            if len(buf) < max(self.initial, 1):
+                continue
+            if len(buf) >= self.bufsize:
+                yield buf.pop(self.rng.randrange(len(buf)))
+        self.rng.shuffle(buf)
+        yield from buf
+
+
+class TarShardDataset:
+    """Iterable (image, caption-tokens) stream over tar shards.
+
+    Mirrors the reference configuration (src/data.py:938-953):
+    shard shuffle, sample shuffle buffer (5000), byte decode via
+    ``decode_image``, caption lookup by ``__key__`` via ``caption_map``,
+    drop-on-error, node/worker interleaving, fixed batch size, and an
+    epoch budget (``num_batches``) derived from ``train_num_samples``.
+    """
+
+    def __init__(
+        self,
+        urls: str | Sequence[str],
+        *,
+        batch_size: int,
+        decode_image: Callable[[bytes], Optional[np.ndarray]],
+        caption_map: Optional[Dict[str, object]] = None,
+        tokenize: Optional[Callable] = None,
+        image_key: str = "image_byte",
+        shuffle_shards: bool = True,
+        shuffle_buffer: int = 5000,
+        seed: int = 0,
+        rank: int = 0,
+        world_size: int = 1,
+        train_num_samples: int = 2_803_766,  # reference default, src/data.py:880
+        partial_batches: bool = False,
+    ):
+        self.shards = (list(urls) if not isinstance(urls, str)
+                       else braceexpand(urls))
+        if world_size > 1 and len(self.shards) < world_size:
+            raise ValueError("number of shards must be >= number of nodes")
+        self.batch_size = batch_size
+        self.decode_image = decode_image
+        self.caption_map = caption_map or {}
+        self.tokenize = tokenize
+        self.image_key = image_key
+        self.shuffle_shards = shuffle_shards
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
+        self.epoch = 0
+        global_batch = batch_size * world_size
+        self.num_batches = train_num_samples // global_batch
+        self.num_samples = self.num_batches * global_batch
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _samples(self) -> Iterator[dict]:
+        rng = random.Random(self.seed + self.epoch)
+        shards = list(self.shards)
+        if self.shuffle_shards:
+            rng.shuffle(shards)
+        shards = shards[self.rank::self.world_size]
+
+        def raw():
+            for shard in shards:
+                yield from group_tar_samples(iter_tar(shard))
+
+        yield from ShuffleBuffer(self.shuffle_buffer, self.shuffle_buffer // 5, rng)(raw())
+
+    def _decode(self, sample: dict) -> Optional[tuple]:
+        key = os.path.basename(str(sample["__key__"]))
+        raw = sample.get(self.image_key)
+        if raw is None:
+            return None
+        try:
+            img = self.decode_image(raw)
+        except Exception as exn:
+            logging.warning("decode error for %s (%r); dropping", key, exn)
+            return None
+        if img is None:
+            return None
+        cap = self.caption_map.get(key)
+        if cap is None:
+            logging.warning("no caption for %s; dropping", key)
+            return None
+        if self.tokenize is not None:
+            cap = self.tokenize([str(cap)])[0]
+        return img, cap
+
+    def __iter__(self) -> Iterator[tuple]:
+        images: List = []
+        caps: List = []
+        produced = 0
+        for sample in self._samples():
+            if produced >= self.num_batches:
+                return
+            out = self._decode(sample)
+            if out is None:
+                continue
+            images.append(out[0])
+            caps.append(out[1])
+            if len(images) == self.batch_size:
+                yield np.stack(images), np.stack(caps)
+                images, caps = [], []
+                produced += 1
+        if images and produced < self.num_batches and getattr(self, "partial_batches", False):
+            yield np.stack(images), np.stack(caps)
+
+
+def pil_jpeg_decoder(n_px: int = 224, is_train: bool = True) -> Callable:
+    """Byte -> normalized array decoder using the host PIL pipeline
+    (reference my_decoder_kv, src/data.py:866-871)."""
+    from PIL import Image
+
+    from keds_tpu.transforms import image_transform
+
+    tf = image_transform(n_px, is_train=is_train)
+
+    def decode(raw: bytes):
+        return tf(Image.open(io.BytesIO(raw)))
+
+    return decode

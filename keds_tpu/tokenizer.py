@@ -27,7 +27,7 @@ import gzip
 import html
 import os
 import unicodedata
-from typing import Iterable, List, Sequence, Union
+from typing import Iterable, List, Optional, Sequence, Union
 
 import numpy as np
 import regex as _re
@@ -145,6 +145,14 @@ class ClipBPE:
             "<|startoftext|>": ("<|startoftext|>",),
             "<|endoftext|>": ("<|endoftext|>",),
         }
+        # Optional native (C++) core for cleaned ASCII text; transparently
+        # falls back to the Python path (keds_tpu/native/bpe.cpp).
+        try:
+            from keds_tpu.native import load_native_bpe
+
+            self._native = load_native_bpe(tokens, merges)
+        except Exception:  # pragma: no cover
+            self._native = None
 
     # -- BPE core ----------------------------------------------------------
     def _merge_word(self, token: str) -> tuple:
@@ -181,13 +189,36 @@ class ClipBPE:
         self._cache[token] = result
         return result
 
-    def encode(self, text: str) -> List[int]:
+    def _encode_cleaned(self, text: str) -> List[int]:
         ids: List[int] = []
-        text = _clean_text(text).lower()
         for tok in self._PRETOKENIZE.findall(text):
             mapped = "".join(self._b2u[b] for b in tok.encode("utf-8"))
             ids.extend(self.encoder[sub] for sub in self._merge_word(mapped))
         return ids
+
+    def encode(self, text: str) -> List[int]:
+        text = _clean_text(text).lower()
+        if self._native is not None and text.isascii() and "\n" not in text:
+            return self._native.encode_batch([text])[0]
+        return self._encode_cleaned(text)
+
+    def encode_batch(self, texts: Sequence[str]) -> List[List[int]]:
+        """Batch encode; ASCII strings go through the native core in one
+        ctypes call, the rest through the Python path."""
+        cleaned = [_clean_text(t).lower() for t in texts]
+        out: List[Optional[List[int]]] = [None] * len(cleaned)
+        native_idx = []
+        if self._native is not None:
+            native_idx = [i for i, t in enumerate(cleaned)
+                          if t.isascii() and "\n" not in t]
+            if native_idx:
+                encoded = self._native.encode_batch([cleaned[i] for i in native_idx])
+                for i, ids in zip(native_idx, encoded):
+                    out[i] = ids
+        for i, t in enumerate(cleaned):
+            if out[i] is None:
+                out[i] = self._encode_cleaned(t)
+        return out  # type: ignore[return-value]
 
     def decode(self, ids: Iterable[int]) -> str:
         text = "".join(self.decoder[i] for i in ids)
@@ -215,13 +246,14 @@ def tokenize(
     if isinstance(texts, str):
         texts = [texts]
     bpe = get_tokenizer(vocab_path)
+    encoded = bpe.encode_batch(list(texts))
     out = np.zeros((len(texts), context_length), dtype=np.int32)
-    for row, text in enumerate(texts):
-        ids = [SOT_TOKEN] + bpe.encode(text) + [EOT_TOKEN]
+    for row, text_ids in enumerate(encoded):
+        ids = [SOT_TOKEN] + text_ids + [EOT_TOKEN]
         if len(ids) > context_length:
             if not truncate:
                 raise RuntimeError(
-                    f"Input {text!r} is too long for context length {context_length}"
+                    f"Input {texts[row]!r} is too long for context length {context_length}"
                 )
             ids = ids[:context_length]
             ids[-1] = EOT_TOKEN

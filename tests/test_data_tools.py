@@ -1,0 +1,165 @@
+"""Tests: tar-shard streaming pipeline, DB build tool, noun extraction,
+packed-feature dataset + loader behaviour."""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from keds_tpu.data.loader import DataLoader, default_collate
+from keds_tpu.data.tarstream import (
+    TarShardDataset,
+    braceexpand,
+    base_plus_ext,
+    group_tar_samples,
+)
+from keds_tpu.tools.extract_nouns import extract_noun_phrase_heuristic
+
+
+def test_braceexpand():
+    assert braceexpand("cc3m-{00000..00002}.tar") == [
+        "cc3m-00000.tar", "cc3m-00001.tar", "cc3m-00002.tar",
+    ]
+    assert braceexpand("x-{a,b}.tar") == ["x-a.tar", "x-b.tar"]
+    assert braceexpand("plain.tar") == ["plain.tar"]
+
+
+def test_base_plus_ext():
+    assert base_plus_ext("d/abc.image_byte") == ("d/abc", "image_byte")
+    assert base_plus_ext("abc.TXT") == ("abc", "txt")
+
+
+def test_group_tar_samples_handles_duplicate_suffix():
+    members = [
+        ("a.img", b"1"), ("a.txt", b"t1"),
+        ("b.img", b"2"), ("b.txt", b"t2"),
+        # repeated suffix with same prefix (shard-boundary case) starts a new
+        # sample instead of raising
+        ("b.img", b"3"),
+    ]
+    out = list(group_tar_samples(members))
+    assert len(out) == 3
+    assert out[0]["__key__"] == "a" and out[0]["img"] == b"1"
+    assert out[2]["img"] == b"3"
+
+
+def _write_shard(path, samples):
+    with tarfile.open(path, "w") as tf:
+        for key, img in samples:
+            data = img.tobytes()
+            info = tarfile.TarInfo(f"{key}.image_byte")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+
+def test_tar_shard_dataset_end_to_end(tmp_path):
+    rng = np.random.default_rng(0)
+    n_per = 8
+    for s in range(3):
+        _write_shard(
+            str(tmp_path / f"shard-0000{s}.tar"),
+            [(f"k{s}_{i}", rng.integers(0, 255, (4, 4), dtype=np.uint8))
+             for i in range(n_per)],
+        )
+
+    def decode(raw):
+        return np.frombuffer(raw, dtype=np.uint8).reshape(4, 4).astype(np.float32)
+
+    caps = {f"k{s}_{i}": f"caption {s} {i}" for s in range(3) for i in range(n_per)}
+    ds = TarShardDataset(
+        str(tmp_path / "shard-{00000..00002}.tar"),
+        batch_size=4,
+        decode_image=decode,
+        caption_map=caps,
+        tokenize=lambda texts: np.asarray([[len(t)] for t in texts], np.int32),
+        shuffle_buffer=8,
+        train_num_samples=24,
+    )
+    assert ds.num_batches == 6
+    batches = list(ds)
+    assert len(batches) == 6
+    imgs, toks = batches[0]
+    assert imgs.shape == (4, 4, 4) and toks.shape == (4, 1)
+
+
+def test_tar_shard_dataset_drops_bad_samples(tmp_path):
+    rng = np.random.default_rng(1)
+    _write_shard(str(tmp_path / "s.tar"),
+                 [(f"k{i}", rng.integers(0, 255, (4, 4), dtype=np.uint8))
+                  for i in range(8)])
+
+    def decode(raw):
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        if arr[0] % 2 == 0:
+            raise ValueError("synthetic decode failure")
+        return arr.reshape(4, 4).astype(np.float32)
+
+    caps = {f"k{i}": "c" for i in range(8)}
+    ds = TarShardDataset(str(tmp_path / "s.tar"), batch_size=2,
+                         decode_image=decode, caption_map=caps,
+                         shuffle_buffer=2, train_num_samples=8)
+    for imgs, _ in ds:
+        assert imgs.shape[0] == 2  # bad samples silently dropped
+
+
+def test_build_database_tool(tmp_path):
+    pytest.importorskip("torch")
+    from keds_tpu.tools.build_database import main as build_main
+    from keds_tpu.retrieval.database import KnowledgeDB
+
+    rng = np.random.default_rng(0)
+    feat = tmp_path / "feat"
+    feat.mkdir()
+    n, d = 50, 16
+    np.save(feat / "image_features.npy", rng.standard_normal((n, d)).astype(np.float32))
+    np.save(feat / "text_features.npy", rng.standard_normal((n, d)).astype(np.float32))
+    (feat / "names.json").write_text(json.dumps([f"n{i}" for i in range(n)]))
+    out = tmp_path / "db"
+    build_main(["--features", str(feat), "--out", str(out), "--size", "20"])
+    import jax.numpy as jnp
+
+    db = KnowledgeDB.load(str(out / "cc_image_databases.pt"),
+                          str(out / "cc_text_databases.pt"),
+                          str(out / "database_names.txt"), dtype=jnp.float32)
+    assert db.size == 20 and db.dim == d
+    norms = np.linalg.norm(np.asarray(db.image_db), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # npy twins agree with the .pt artifacts
+    np.testing.assert_allclose(np.load(out / "image_db.npy"),
+                               np.asarray(db.image_db), atol=1e-6)
+
+
+def test_noun_heuristic():
+    subject, other = extract_noun_phrase_heuristic("a small dog in the park")
+    assert subject == "a small dog"
+    assert other == "* in the park"
+    subject, other = extract_noun_phrase_heuristic("the woman wearing a red coat")
+    assert subject == "the woman"
+    assert other == "* wearing a red coat"
+
+
+def test_default_collate_drops_none():
+    out = default_collate([(np.ones(2), "a"), None, (np.zeros(2), "b")])
+    assert out[0].shape == (2, 2)
+    assert out[1] == ["a", "b"]
+
+
+def test_loader_world_sharding():
+    data = list(range(10))
+
+    class DS:
+        def __len__(self):
+            return len(data)
+
+        def __getitem__(self, i):
+            return np.asarray([data[i]])
+
+    seen = []
+    for rank in range(2):
+        dl = DataLoader(DS(), batch_size=5, rank=rank, world_size=2)
+        for batch in dl:
+            seen.extend(batch.ravel().tolist())
+    assert sorted(seen) == data
