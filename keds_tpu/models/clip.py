@@ -165,7 +165,7 @@ def encode_image(params: dict, cfg: ClipConfig, images: jax.Array) -> jax.Array:
     """(B, H, W, 3) -> (B, embed_dim).  Reference model.py:393-415."""
     v = params["visual"]
     x = vision_tokens(params, cfg, images)
-    x = transformer(x, v["blocks"], cfg.vision_heads)
+    x = transformer(x, v["blocks"], cfg.vision_heads, causal=False)
     cls = layer_norm(x[:, 0, :], v["ln_post_g"], v["ln_post_b"])
     return jnp.dot(cls, v["proj"].astype(cls.dtype))
 
@@ -175,7 +175,7 @@ def encode_image_tokens(params: dict, cfg: ClipConfig, images: jax.Array) -> jax
     get_tokens``, model.py:418-428): (B, 1+N, vw), no post-LN/projection."""
     v = params["visual"]
     x = vision_tokens(params, cfg, images)
-    return transformer(x, v["blocks"], cfg.vision_heads)
+    return transformer(x, v["blocks"], cfg.vision_heads, causal=False)
 
 
 def encode_image_mid_features(
@@ -185,7 +185,7 @@ def encode_image_mid_features(
     the reference ``mid_feature`` mode (model.py:402-408)."""
     v = params["visual"]
     x = vision_tokens(params, cfg, images)
-    x, mids = transformer_collect(x, v["blocks"], cfg.vision_heads)
+    x, mids = transformer_collect(x, v["blocks"], cfg.vision_heads, causal=False)
     cls = layer_norm(x[:, 0, :], v["ln_post_g"], v["ln_post_b"])
     return jnp.dot(cls, v["proj"].astype(cls.dtype)), mids
 
@@ -209,7 +209,8 @@ def eot_indices(text: jax.Array, eot_id: int) -> jax.Array:
 def _text_transformer(params: dict, cfg: ClipConfig, x: jax.Array) -> jax.Array:
     t = params["text"]
     x = x + t["pos"].astype(x.dtype)
-    x = transformer(x, t["blocks"], cfg.transformer_heads, causal_mask(cfg.context_length))
+    x = transformer(x, t["blocks"], cfg.transformer_heads,
+                    causal_mask(cfg.context_length), causal=True)
     return layer_norm(x, t["ln_final_g"], t["ln_final_b"])
 
 

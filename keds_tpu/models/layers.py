@@ -14,11 +14,26 @@ and lets XLA pipeline HBM weight fetches.
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+
+@functools.lru_cache()
+def flash_enabled() -> bool:
+    """Use the fused Pallas attention kernel on TPU backends (override with
+    KEDS_TPU_FLASH=0/1).  CPU runs the XLA reference path."""
+    env = os.environ.get("KEDS_TPU_FLASH")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -44,12 +59,17 @@ def multi_head_attention(
     out_b: jax.Array,
     n_heads: int,
     mask: Optional[jax.Array] = None,
+    causal: Optional[bool] = None,
 ) -> jax.Array:
     """Batched self-attention, (B, S, D) -> (B, S, D).
 
     ``qkv_w`` is (D, 3D) (fused projection), ``out_w`` is (D, D); ``mask`` is
     an additive (S, S) bias (0 / -inf causal mask for the text tower).
     Scores are accumulated and softmaxed in float32.
+
+    ``causal`` declares the mask's *structure* (False = no mask, True =
+    standard causal, None = arbitrary ``mask`` array) so the fused Pallas
+    kernel can be used when the structure is known.
     """
     B, S, D = x.shape
     H = n_heads
@@ -59,21 +79,31 @@ def multi_head_attention(
     q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
-    scale = 1.0 / math.sqrt(Dh)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
-    if mask is not None:
-        scores = scores + mask.astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    if causal is not None and flash_enabled():
+        # The only masks in this model family are none/causal; the fused
+        # kernel keeps scores+softmax in VMEM (keds_tpu/ops/attention.py).
+        from keds_tpu.ops.attention import flash_attention
+
+        ctx = flash_attention(q, k, v, causal)
+    else:
+        scale = 1.0 / math.sqrt(Dh)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                            preferred_element_type=jnp.float32)
+        if mask is not None:
+            scores = scores + mask.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
     return jnp.dot(ctx, out_w.astype(x.dtype)) + out_b.astype(x.dtype)
 
 
-def residual_block(x: jax.Array, blk: dict, n_heads: int, mask: Optional[jax.Array]) -> jax.Array:
+def residual_block(x: jax.Array, blk: dict, n_heads: int,
+                   mask: Optional[jax.Array], causal: Optional[bool] = None) -> jax.Array:
     """One pre-LN residual attention block (reference model.py:305-326)."""
     h = layer_norm(x, blk["ln1_g"], blk["ln1_b"])
     x = x + multi_head_attention(
-        h, blk["qkv_w"], blk["qkv_b"], blk["out_w"], blk["out_b"], n_heads, mask
+        h, blk["qkv_w"], blk["qkv_b"], blk["out_w"], blk["out_b"], n_heads, mask,
+        causal,
     )
     h = layer_norm(x, blk["ln2_g"], blk["ln2_b"])
     h = quick_gelu(jnp.dot(h, blk["fc_w"].astype(x.dtype)) + blk["fc_b"].astype(x.dtype))
@@ -86,12 +116,13 @@ def transformer(
     blocks: dict,
     n_heads: int,
     mask: Optional[jax.Array] = None,
+    causal: Optional[bool] = None,
 ) -> jax.Array:
     """Run stacked residual blocks with lax.scan.  ``blocks`` leaves have a
     leading layer axis."""
 
     def body(carry, blk):
-        return residual_block(carry, blk, n_heads, mask), None
+        return residual_block(carry, blk, n_heads, mask, causal), None
 
     out, _ = jax.lax.scan(body, x, blocks)
     return out
@@ -102,13 +133,14 @@ def transformer_collect(
     blocks: dict,
     n_heads: int,
     mask: Optional[jax.Array] = None,
+    causal: Optional[bool] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Like :func:`transformer` but also returns every block's output,
     stacked (L, B, S, D) — the reference's ``mid_feature`` mode
     (model.py:337-342)."""
 
     def body(carry, blk):
-        out = residual_block(carry, blk, n_heads, mask)
+        out = residual_block(carry, blk, n_heads, mask, causal)
         return out, out
 
     out, collected = jax.lax.scan(body, x, blocks)
