@@ -53,8 +53,16 @@ def main(argv=None) -> None:
     dtype = compute_dtype(cfg)
     np.random.seed(cfg.seed)
 
-    # Frozen CLIP
-    clip_params, clip_cfg, _, _ = load_clip(cfg.clip_weights or cfg.model)
+    # Frozen CLIP: pretrained weights, or a from-scratch architecture preset
+    # (reference model_configs path, src/main.py:133-145)
+    if cfg.clip_weights or cfg.openai_pretrained:
+        clip_params, clip_cfg, _, _ = load_clip(cfg.clip_weights or cfg.model)
+    else:
+        from keds_tpu.models.clip import init_clip, model_config_for
+
+        clip_cfg = model_config_for(cfg.model)
+        clip_params = init_clip(jax.random.key(cfg.seed), clip_cfg)
+        logging.info("initialized %s from scratch (no --clip-weights)", cfg.model)
     d = clip_cfg.embed_dim
     tw = clip_cfg.transformer_width
 
@@ -68,13 +76,41 @@ def main(argv=None) -> None:
 
     retriever = load_database(cfg, mesh)
 
-    # Data: precomputed-feature pairs
-    dataset = FeaturePairDataset(cfg.train_data)
-    loader = DataLoader(
-        dataset, cfg.batch_size * mesh.devices.size, shuffle=True, seed=cfg.seed,
-        drop_last=True, num_workers=cfg.workers,
-        rank=jax.process_index(), world_size=jax.process_count(),
-    )
+    # Data: precomputed-feature pairs (default) or raw tar streaming
+    use_wds = cfg.dataset_type == "webdataset"
+    if use_wds:
+        from keds_tpu.data.tarstream import TarShardDataset, pil_jpeg_decoder
+
+        cap_map = {}
+        if cfg.caption_map:
+            if cfg.caption_map.endswith(".pkl"):
+                import pickle
+
+                with open(cfg.caption_map, "rb") as f:
+                    cap_map = {e["filename"]: e["text"] for e in pickle.load(f)}
+            else:
+                import json
+
+                with open(cfg.caption_map) as f:
+                    cap_map = json.load(f)
+        loader = TarShardDataset(
+            cfg.train_data,
+            batch_size=cfg.batch_size * mesh.devices.size,
+            decode_image=pil_jpeg_decoder(clip_cfg.image_resolution, is_train=True),
+            caption_map=cap_map,
+            tokenize=tokenize,
+            seed=cfg.seed,
+            rank=jax.process_index(), world_size=jax.process_count(),
+            train_num_samples=cfg.train_num_samples or 2_803_766,
+        )
+        dataset = None
+    else:
+        dataset = FeaturePairDataset(cfg.train_data)
+        loader = DataLoader(
+            dataset, cfg.batch_size * mesh.devices.size, shuffle=True, seed=cfg.seed,
+            drop_last=True, num_workers=cfg.workers,
+            rank=jax.process_index(), world_size=jax.process_count(),
+        )
     steps_per_epoch = loader.num_batches
     total_steps = steps_per_epoch * cfg.epochs
     optimizer, schedule = make_optimizer(cfg, total_steps)
@@ -82,6 +118,9 @@ def main(argv=None) -> None:
     # Neighbor-caption templates for the text stream, tokenized once for the
     # whole DB and gathered by index on device (cached next to the DB).
     db_other_tokens = None
+    if cfg.stream == "text" and use_wds:
+        raise SystemExit("--stream text requires precomputed features "
+                         "(subject/other templates); use --dataset-type directory")
     if cfg.stream == "text":
         cache = os.path.join(cfg.train_data, "db_other_tokens.npy")
         if os.path.isfile(cache):
@@ -122,12 +161,23 @@ def main(argv=None) -> None:
     writers = (ScalarWriters(cfg),) if jax.process_index() == 0 else ()
 
     def batches():
-        for img, txt, _subject, other_tok in loader:
-            yield TrainBatch(
-                image_features=jax.device_put(jnp.asarray(img, jnp.float32), shard),
-                caption_features=jax.device_put(jnp.asarray(txt, jnp.float32), shard),
-                other_tokens=jax.device_put(jnp.asarray(other_tok), shard),
-            )
+        if use_wds:
+            from keds_tpu.train.losses import RawBatch
+
+            for images, caps in loader:
+                b = images.shape[0]
+                yield RawBatch(
+                    images=jax.device_put(jnp.asarray(images, dtype), shard),
+                    caption_tokens=jax.device_put(jnp.asarray(caps), shard),
+                    other_tokens=jax.device_put(jnp.zeros((b, 77), jnp.int32), shard),
+                )
+        else:
+            for img, txt, _subject, other_tok in loader:
+                yield TrainBatch(
+                    image_features=jax.device_put(jnp.asarray(img, jnp.float32), shard),
+                    caption_features=jax.device_put(jnp.asarray(txt, jnp.float32), shard),
+                    other_tokens=jax.device_put(jnp.asarray(other_tok), shard),
+                )
 
     base_rng = jax.random.key(cfg.seed)
     for epoch in range(start_epoch, cfg.epochs):

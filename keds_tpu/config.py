@@ -45,6 +45,7 @@ class Config:
     root_data: str = "./data"
     train_num_samples: Optional[int] = None
     dataset_resampled: bool = False
+    caption_map: Optional[str] = None  # {key: caption} json/pkl for tar streaming
     workers: int = 1
     # retrieval / demo
     prompts: Optional[str] = None
@@ -146,6 +147,7 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
     add("--root-data", type=str, default="./data")
     add("--train-num-samples", type=int, default=None)
     add("--dataset-resampled", action="store_true", default=False)
+    add("--caption-map", type=str, default=None)
     add("--workers", type=int, default=1)
     add("--prompts", type=str, default=None)
     add("--retrieval-data", type=str, default=None)

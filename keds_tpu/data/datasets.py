@@ -329,6 +329,47 @@ class FeaturePairDataset:
         return img, txt, subject, tokenize(template)[0]
 
 
+class ImageFolderByClass:
+    """<root>/<class_dir>/<image> tree with integer labels by sorted class
+    order (torchvision ImageFolder semantics; used by the ImageNet zero-shot
+    path, reference src/data.py:732-774)."""
+
+    def __init__(self, root: str, transform: Callable):
+        self.transform = transform
+        self.samples: List[tuple] = []
+        classes = sorted(d for d in os.listdir(root)
+                         if os.path.isdir(os.path.join(root, d)))
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for fn in sorted(os.listdir(cdir)):
+                self.samples.append((os.path.join(cdir, fn), self.class_to_idx[c]))
+        self.targets = [t for _, t in self.samples]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx: int):
+        path, target = self.samples[idx]
+        return self.transform(_open_image(path)), target
+
+
+def imagenet_train_subset_indices(targets: Sequence[int], per_class: int = 50,
+                                  n_classes: int = 1000, seed: int = 0) -> np.ndarray:
+    """50-per-class random subset (reference get_imagenet train sampler,
+    src/data.py:751-764)."""
+    rng = np.random.default_rng(seed)
+    targets = np.asarray(targets)
+    keep = []
+    for c in range(n_classes):
+        idx = np.where(targets == c)[0]
+        if len(idx) == 0:
+            continue
+        rng.shuffle(idx)
+        keep.append(idx[:per_class])
+    return np.sort(np.concatenate(keep)) if keep else np.empty(0, np.int64)
+
+
 def _load_json_maybe(path: Optional[str], folder: str, default_name: str) -> dict:
     candidates = [path] if path else []
     candidates.append(os.path.join(folder, default_name))

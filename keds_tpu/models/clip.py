@@ -75,6 +75,27 @@ VIT_B_32 = ClipConfig(embed_dim=512, vision_layers=12, vision_width=768,
 VIT_B_16 = ClipConfig(embed_dim=512, vision_layers=12, vision_width=768,
                       vision_patch_size=16, transformer_width=512,
                       transformer_heads=8)
+VIT_H_14 = ClipConfig(embed_dim=1024, vision_layers=32, vision_width=1280,
+                      vision_patch_size=14, transformer_width=1024,
+                      transformer_heads=16, transformer_layers=24)
+
+# From-scratch architecture presets (the reference ships these as
+# model_configs/*.json, src/main.py:134-145).
+MODEL_CONFIGS = {
+    "ViT-L/14": VIT_L_14,
+    "ViT-B/32": VIT_B_32,
+    "ViT-B/16": VIT_B_16,
+    "ViT-H-14": VIT_H_14,
+}
+
+
+def model_config_for(name: str) -> ClipConfig:
+    if name in MODEL_CONFIGS:
+        return MODEL_CONFIGS[name]
+    raise KeyError(
+        f"no from-scratch config for {name!r} (RN-family towers load from "
+        "checkpoints only; their BatchNorm runs in inference mode)"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -25,15 +25,19 @@ import jax.numpy as jnp
 
 @functools.lru_cache()
 def flash_enabled() -> bool:
-    """Use the fused Pallas attention kernel on TPU backends (override with
-    KEDS_TPU_FLASH=0/1).  CPU runs the XLA reference path."""
+    """Opt-in fused Pallas attention (KEDS_TPU_FLASH=1).
+
+    Default OFF: at the model family's short sequences (<=257 tokens) XLA's
+    compiled attention already runs the towers at the measured pure-matmul
+    ceiling of the chip, and the per-(batch, head) kernel grid is slower
+    (measured on v5e: 347 img/s XLA vs 263 img/s fused for ViT-L/14 b32).
+    The kernel remains available for long-sequence variants and future
+    multi-head blocking work.
+    """
     env = os.environ.get("KEDS_TPU_FLASH")
     if env is not None:
         return env not in ("0", "false", "off")
-    try:
-        return jax.default_backend() != "cpu"
-    except Exception:  # pragma: no cover
-        return False
+    return False
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:

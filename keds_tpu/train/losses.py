@@ -68,6 +68,28 @@ class TrainBatch(NamedTuple):
     other_tokens: jax.Array        # (B, 77) tokenized "a photo of * * * {other}"
 
 
+class RawBatch(NamedTuple):
+    """A raw (image, caption) batch from the tar-streaming pipeline; CLIP
+    features are computed on the fly inside the jitted step (the reference's
+    webdataset mode feeds raw tensors, src/data.py:938-953)."""
+
+    images: jax.Array              # (B, H, W, 3) preprocessed images
+    caption_tokens: jax.Array      # (B, 77)
+    other_tokens: jax.Array        # (B, 77) templates (zeros if unavailable)
+
+
+def encode_raw_batch(clip_params, cfg: mclip.ClipConfig, batch: RawBatch) -> TrainBatch:
+    """Frozen-CLIP feature computation for raw batches, under stop_gradient
+    (the reference wraps this in torch.no_grad, src/trainer.py:48-52)."""
+    img = jax.lax.stop_gradient(mclip.encode_image(clip_params, cfg, batch.images))
+    txt = jax.lax.stop_gradient(mclip.encode_text(clip_params, cfg, batch.caption_tokens))
+    return TrainBatch(
+        image_features=img.astype(jnp.float32),
+        caption_features=txt.astype(jnp.float32),
+        other_tokens=batch.other_tokens,
+    )
+
+
 def image_stream_loss(
     heads: FusionHeads,
     clip_params: dict,

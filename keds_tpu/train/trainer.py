@@ -28,7 +28,13 @@ import optax
 from keds_tpu.models import clip as mclip
 from keds_tpu.models.composition import FusionHeads
 from keds_tpu.retrieval.database import Retriever
-from keds_tpu.train.losses import TrainBatch, image_stream_loss, text_stream_loss
+from keds_tpu.train.losses import (
+    RawBatch,
+    TrainBatch,
+    encode_raw_batch,
+    image_stream_loss,
+    text_stream_loss,
+)
 from keds_tpu.train.schedule import cosine_lr
 
 
@@ -97,9 +103,12 @@ def make_train_step(
         # static placeholder so the jit signature is uniform across streams
         db_other_tokens = jnp.zeros((1, prompt.shape[1]), jnp.int32)
 
-    def loss_fn(heads: FusionHeads, batch: TrainBatch, rng: jax.Array,
+    def loss_fn(heads: FusionHeads, batch, rng: jax.Array,
                 clip_c, db_img, db_txt, db_other):
         r_shuffle, r_drop = jax.random.split(rng)
+        if isinstance(batch, RawBatch):
+            # tar-streaming mode: frozen-CLIP encode on the fly, in-graph
+            batch = encode_raw_batch(clip_c, cfg, batch)
         feats = batch.image_features
         topk_img, topk_txt = retriever.retrieve_features(
             feats, k=db_topk, rng=r_shuffle, shuffle_image=True,
@@ -172,12 +181,14 @@ def train_epoch(
         rng = jax.random.fold_in(base_rng, step)
         heads, opt_state, loss = train_step(heads, opt_state, batch, rng)
         if (i % log_every) == 0:
-            loss_val = float(jax.block_until_ready(loss))
+            # On remote-execution backends only a data fetch synchronizes.
+            loss_val = float(np.asarray(loss))
             batch_time = time.time() - end
             lr = float(schedule(step)) if schedule else float("nan")
             pct = 100.0 * i / max(steps_per_epoch, 1)
+            batch_n = jax.tree.leaves(batch)[0].shape[0]
             logging.info(
-                f"Train Epoch: {epoch} [{i * len(batch.image_features) * world_size}"
+                f"Train Epoch: {epoch} [{i * batch_n * world_size}"
                 f" ({pct:.0f}%)]\tLoss: {loss_val:.6f}\tData (t) {data_time:.3f}"
                 f"\tBatch (t) {batch_time:.3f}\tLR: {lr:5f}"
             )
