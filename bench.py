@@ -75,6 +75,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from keds_tpu.runtime import setup_jax
+
+    setup_jax()
+
     from keds_tpu.models import clip as mclip
     from keds_tpu.models.composition import compose_pseudo_tokens
     from keds_tpu.ops.topk import mips_topk, mips_topk_fused

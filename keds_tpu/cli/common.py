@@ -45,9 +45,10 @@ def setup_experiment(cfg: Config, require_fresh: bool = True) -> Config:
 
 def setup_runtime(cfg: Config):
     """Distributed init + mesh + precision config."""
+    from keds_tpu.runtime import setup_jax
+
+    setup_jax(cfg.precision)
     maybe_init_distributed(cfg)
-    if cfg.precision == "fp32":
-        jax.config.update("jax_default_matmul_precision", "highest")
     mesh = make_mesh(cfg.num_partitions)
     cfg.world_size = mesh.devices.size
     logging.info("mesh: %d device(s) on axis 'data' (%s)", mesh.devices.size,

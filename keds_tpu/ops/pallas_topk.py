@@ -25,7 +25,23 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = float("-inf")
 
 
-def _kernel(q_ref, db_ref, vals_ref, idx_ref, svals, sidx, *, k: int, block_n: int, n_rows: int):
+def _iterative_topk(cand_vals, cand_idx, k):
+    """k rounds of masked argmax (works everywhere; ~3 VPU passes per round:
+    argmax, one-hot gather of value+index, mask)."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, cand_vals.shape, 1)
+    out_vals, out_idx = [], []
+    for _ in range(k):
+        am = jnp.argmax(cand_vals, axis=1).astype(jnp.int32)
+        hit = pos == am[:, None]
+        # exactly one hit per row -> masked sums recover value and index
+        out_vals.append(jnp.sum(jnp.where(hit, cand_vals, 0.0), axis=1))
+        out_idx.append(jnp.sum(jnp.where(hit, cand_idx, 0), axis=1))
+        cand_vals = jnp.where(hit, _NEG_INF, cand_vals)
+    return (jnp.stack(out_vals, axis=1), jnp.stack(out_idx, axis=1))
+
+
+def _kernel(q_ref, db_ref, vals_ref, idx_ref, svals, sidx, *, k: int,
+            block_n: int, n_rows: int, use_lax_topk: bool):
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
 
@@ -45,19 +61,23 @@ def _kernel(q_ref, db_ref, vals_ref, idx_ref, svals, sidx, *, k: int, block_n: i
     # Mask padding rows (db padded up to a multiple of block_n).
     scores = jnp.where(col_ids < n_rows, scores, _NEG_INF)
 
-    # Fold the tile into the running top-k: k rounds of masked argmax over
-    # the (running ∪ tile) candidate set.
-    cand_vals = jnp.concatenate([svals[:], scores], axis=1)          # (TQ, k+TN)
-    cand_idx = jnp.concatenate([sidx[:], col_ids], axis=1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, cand_vals.shape, 1)
-    for t in range(k):
-        best = jnp.max(cand_vals, axis=1)                             # (TQ,)
-        am = jnp.argmax(cand_vals, axis=1).astype(jnp.int32)          # (TQ,)
-        hit = pos == am[:, None]
-        best_idx = jnp.sum(jnp.where(hit, cand_idx, 0), axis=1)
-        svals[:, t] = best
-        sidx[:, t] = best_idx
-        cand_vals = jnp.where(hit, _NEG_INF, cand_vals)
+    if use_lax_topk:
+        # Tile-local top-k in one fused op, then a cheap (2k-wide) merge with
+        # the running set.
+        tile_vals, tile_pos = jax.lax.top_k(scores, k)                # (TQ, k)
+        tile_idx = row_base + tile_pos.astype(jnp.int32)
+        cand_vals = jnp.concatenate([svals[:], tile_vals], axis=1)    # (TQ, 2k)
+        cand_idx = jnp.concatenate([sidx[:], tile_idx], axis=1)
+        mvals, mpos = jax.lax.top_k(cand_vals, k)
+        midx = jnp.take_along_axis(cand_idx, mpos, axis=1)
+        svals[:] = mvals
+        sidx[:] = midx
+    else:
+        cand_vals = jnp.concatenate([svals[:], scores], axis=1)       # (TQ, k+TN)
+        cand_idx = jnp.concatenate([sidx[:], col_ids], axis=1)
+        mvals, midx = _iterative_topk(cand_vals, cand_idx, k)
+        svals[:] = mvals
+        sidx[:] = midx
 
     @pl.when(j == n_j - 1)
     def _flush():
@@ -65,7 +85,8 @@ def _kernel(q_ref, db_ref, vals_ref, idx_ref, svals, sidx, *, k: int, block_n: i
         idx_ref[:] = sidx[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_q", "block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "block_q", "block_n",
+                                              "interpret", "use_lax_topk"))
 def mips_topk_pallas(
     queries: jax.Array,
     db: jax.Array,
@@ -73,6 +94,7 @@ def mips_topk_pallas(
     block_q: int = 128,
     block_n: int = 2048,
     interpret: bool = False,
+    use_lax_topk: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k by inner product, fused.  queries (B, D), db (N, D) ->
     (values (B, k) f32, indices (B, k) i32).  B is padded to block_q and N to
@@ -87,7 +109,8 @@ def mips_topk_pallas(
         db = jnp.pad(db, ((0, Np - N), (0, 0)))
 
     grid = (Bp // block_q, Np // block_n)
-    kernel = functools.partial(_kernel, k=k, block_n=block_n, n_rows=N)
+    kernel = functools.partial(_kernel, k=k, block_n=block_n, n_rows=N,
+                               use_lax_topk=use_lax_topk)
     vals, idx = pl.pallas_call(
         kernel,
         grid=grid,
