@@ -1,0 +1,97 @@
+"""eval_retrieval CLI end-to-end on a synthetic CIRR tree: full checkpoint
+resume, reference-format DB files, branch checkpoint sweep, metric logging."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytest.importorskip("torch")
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from keds_tpu.cli.eval_retrieval import main as eval_main  # noqa: E402
+from keds_tpu.io.checkpoint import save_train_checkpoint  # noqa: E402
+from keds_tpu.io.pt import save_pt  # noqa: E402
+from keds_tpu.models import clip as mclip, heads as mheads  # noqa: E402
+from keds_tpu.models.composition import FusionHeads  # noqa: E402
+
+D = 64
+
+
+def test_eval_cli_cirr(tmp_path, caplog):
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=2,
+    )
+    clip_params = mclip.init_clip(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+
+    def mk_heads(seed):
+        k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+        return FusionHeads(
+            img2text=mheads.init_im2text(k1, D, 48, D),
+            retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+            text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+        )
+
+    # resume checkpoint + branch checkpoints (epoch 1 only -> sweep [1])
+    resume = str(tmp_path / "resume.pt")
+    save_train_checkpoint(resume, epoch=1, name="t", clip_params=clip_params,
+                          clip_cfg=cfg, heads=mk_heads(1))
+    ib = tmp_path / "image_branch"
+    tb = tmp_path / "text_branch"
+    for branch, seed in ((ib, 2), (tb, 3)):
+        save_train_checkpoint(str(branch / "epoch_1.pt"), epoch=1, name="t",
+                              clip_params=clip_params, clip_cfg=cfg,
+                              heads=mk_heads(seed))
+
+    # reference-format DB
+    db = tmp_path / "db"
+    db.mkdir()
+    save_pt(np.float32(rng.standard_normal((64, D))), str(db / "cc_image_databases.pt"))
+    save_pt(np.float32(rng.standard_normal((64, D))), str(db / "cc_text_databases.pt"))
+    (db / "database_names.txt").write_text("\n".join(f"n{i}" for i in range(64)))
+
+    # synthetic CIRR tree
+    root = tmp_path / "data"
+    base = root / "CIRR"
+    (base / "dev").mkdir(parents=True)
+    (base / "captions").mkdir()
+    (base / "image_splits").mkdir()
+    names = [f"img{i}" for i in range(8)]
+    for n in names:
+        Image.fromarray(rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)).save(
+            base / "dev" / f"{n}.png")
+    caps = [{"reference": names[q], "target_hard": names[(q + 1) % 8],
+             "caption": f"change {q}"} for q in range(4)]
+    (base / "captions" / "cap.rc2.val.json").write_text(json.dumps(caps))
+    (base / "image_splits" / "split.rc2.val.json").write_text(
+        json.dumps({n: f"dev/{n}.png" for n in names}))
+
+    import logging
+
+    caplog.set_level(logging.INFO)
+    # Monkeypatch the sweep range: reference sweeps 1..30 but only epoch_1
+    # exists here.
+    import keds_tpu.evalkit.evaluators as ev
+
+    orig = ev.evaluate_cirr
+    try:
+        ev.evaluate_cirr = lambda ctx, s, t, epochs=None: orig(ctx, s, t, epochs=[1])
+        eval_main([
+            "--eval-mode", "cirr", "--resume", resume,
+            "--root-data", str(root), "--database-path", str(db),
+            "--image-branch", str(ib), "--text-branch", str(tb),
+            "--batch-size", "4", "--precision", "fp32", "--db-topk", "4",
+            "--logs", str(tmp_path / "logs"), "--name", "evalsmoke",
+        ])
+    finally:
+        ev.evaluate_cirr = orig
+    text = caplog.text
+    assert "CIRR[j=1]" in text and "recall_R@1" in text
