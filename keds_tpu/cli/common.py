@@ -7,7 +7,7 @@ import json
 import logging
 import os
 import time
-from typing import List, Optional
+from typing import List
 
 import jax
 

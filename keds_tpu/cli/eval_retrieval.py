@@ -15,8 +15,6 @@ import os
 
 
 def main(argv=None) -> None:
-    import jax
-
     from keds_tpu.cli.common import (
         compute_dtype,
         load_database,
@@ -35,7 +33,7 @@ def main(argv=None) -> None:
         evaluate_imgnet_retrieval,
     )
     from keds_tpu.models.loader import load_clip
-    from keds_tpu.transforms import image_transform, region_transform
+    from keds_tpu.transforms import region_transform
 
     cfg = parse_args(argv)
     cfg = setup_experiment(cfg, require_fresh=False)

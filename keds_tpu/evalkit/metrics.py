@@ -10,7 +10,7 @@ deterministic under score ties.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -17,7 +17,7 @@ import io
 import os
 import pickle
 import zipfile
-from typing import Any, Dict
+from typing import Any
 
 import numpy as np
 

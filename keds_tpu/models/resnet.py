@@ -19,8 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from keds_tpu.models.clip import ClipConfig
-
 
 def _conv(x: jax.Array, w: jax.Array, stride: int = 1, padding: int = 0) -> jax.Array:
     return jax.lax.conv_general_dilated(

@@ -11,7 +11,6 @@ import hashlib
 import logging
 import os
 import subprocess
-import tempfile
 from typing import List, Optional, Tuple
 
 import numpy as np

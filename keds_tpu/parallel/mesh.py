@@ -16,7 +16,6 @@ distribution story (SURVEY.md §2 parallelism table).
 from __future__ import annotations
 
 import logging
-from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

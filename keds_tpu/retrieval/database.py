@@ -17,7 +17,6 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-from functools import partial
 from typing import List, Optional, Tuple
 
 import jax

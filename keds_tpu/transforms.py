@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import numpy as np
 
