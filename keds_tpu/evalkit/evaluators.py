@@ -47,6 +47,36 @@ def _norm(x):
     return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
 
 
+def get_templates() -> List[str]:
+    """PALAVRA prompt templates (reference eval_utils.py:88-118)."""
+    return [
+        "This is a photo of a {}", "This photo contains a {}", "A photo of a {}",
+        "This is an illustration of a {}", "This illustration contains a {}",
+        "An illustrations of a {}", "This is a sketch of a {}",
+        "This sketch contains a {}", "A sketch of a {}",
+        "This is a diagram of a {}", "This diagram contains a {}",
+        "A diagram of a {}", "A {}", "We see a {}", "{}",
+        "We see a {} in this photo", "We see a {} in this image",
+        "We see a {} in this illustration", "We see a {} photo",
+        "We see a {} image", "We see a {} illustration",
+        "{} photo", "{} image", "{} illustration",
+    ]
+
+
+def extract_image_features(ctx: "EvalContext", dataset, batch_size: int = 128,
+                           num_workers: int = 0):
+    """Encode a dataset's images into a feature matrix + name list
+    (reference extract_image_features, eval_utils.py:1138-1173)."""
+    from keds_tpu.data.loader import DataLoader
+
+    feats, names = [], []
+    for batch in DataLoader(dataset, batch_size, num_workers=num_workers):
+        images, batch_names = batch[0], batch[1]
+        feats.append(np.asarray(ctx.image_features(images).astype(jnp.float32)))
+        names.extend(batch_names)
+    return np.concatenate(feats), names
+
+
 @dataclass
 class EvalContext:
     clip_params: dict

@@ -139,6 +139,88 @@ def fashion_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.fixture(scope="module")
+def cirr_test_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tdata")
+    base = root / "CIRR"
+    (base / "test1").mkdir(parents=True)
+    (base / "captions").mkdir()
+    (base / "image_splits").mkdir()
+    rng = np.random.default_rng(3)
+    names = [f"t{i}" for i in range(60)]
+    for n in names:
+        _rand_png(base / "test1" / f"{n}.png", rng)
+    caps = [{"reference": names[q], "caption": f"modify {q}", "pairid": 1000 + q}
+            for q in range(4)]
+    (base / "captions" / "cap.rc2.test1.json").write_text(json.dumps(caps))
+    (base / "image_splits" / "split.rc2.test1.json").write_text(
+        json.dumps({n: f"test1/{n}.png" for n in names}))
+    return str(root)
+
+
+def test_evaluate_cirr_test_submission(tiny_model, cirr_test_root):
+    from keds_tpu.evalkit.evaluators import evaluate_cirr_test
+
+    cfg, clip_params, db, ib, tb = tiny_model
+    t_val = image_transform(cfg.image_resolution)
+    src = CIRR(transforms=t_val, root=cirr_test_root, test=True)
+    tgt = CIRR(transforms=t_val, root=cirr_test_root, mode="imgs", test=True)
+    ctx = EvalContext(
+        clip_params=clip_params, cfg=cfg, retriever=Retriever(db),
+        image_branch=ib, text_branch=tb, compute_dtype=jnp.float32,
+    )
+    results = evaluate_cirr_test(ctx, DataLoader(src, 4), DataLoader(tgt, 8),
+                                 image_epoch=1, text_epoch=2)
+    assert set(results) == {"composed", "image", "text", "mixture"}
+    sub = results["composed"]
+    assert sub["version"] == "rc2" and sub["metric"] == "recall"
+    assert len(sub["1000"]) == 50
+    assert not any(n.endswith(".png") for n in sub["1000"])
+
+
+@pytest.fixture(scope="module")
+def imgnet_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("idata")
+    imgdir = root / "imgnet" / "imgs"
+    imgdir.mkdir(parents=True)
+    rng = np.random.default_rng(4)
+    q_lines, t_lines = [], []
+    for i in range(6):
+        _rand_png(imgdir / f"q{i}.png", rng)
+        q_lines.append(f"imgnet/imgs/q{i}.png {i % 3}")
+    for i in range(10):
+        _rand_png(imgdir / f"t{i}.png", rng)
+        t_lines.append(f"imgnet/imgs/t{i}.png {i % 3}")
+    (root / "imgnet" / "imgnet_real_query.txt").write_text("\n".join(q_lines))
+    (root / "imgnet" / "imgnet_targets.txt").write_text("\n".join(t_lines))
+    return str(root)
+
+
+def test_evaluate_imgnet_end_to_end(tiny_model, imgnet_root):
+    from keds_tpu.data.datasets import ImageList
+    from keds_tpu.evalkit.evaluators import evaluate_imgnet_retrieval
+
+    cfg, clip_params, db, ib, tb = tiny_model
+    t_val = image_transform(cfg.image_resolution)
+    src = ImageList(os.path.join(imgnet_root, "imgnet", "imgnet_real_query.txt"),
+                    root=imgnet_root, transforms=t_val, is_labels=True)
+    tgt = ImageList(os.path.join(imgnet_root, "imgnet", "imgnet_targets.txt"),
+                    root=imgnet_root, transforms=t_val, is_labels=True)
+    ctx = EvalContext(
+        clip_params=clip_params, cfg=cfg, retriever=Retriever(db),
+        image_branch=ib, text_branch=tb, compute_dtype=jnp.float32,
+    )
+    # branch dirs hold epoch_{1,2}; sweep j=1 loads 2j-1=1 and 2j=2
+    results = evaluate_imgnet_retrieval(
+        ctx, ["a cartoon of *"], DataLoader(src, 3), DataLoader(tgt, 5),
+        epochs=[1],
+    )
+    for m in results.values():
+        for k in (1, 5):
+            assert 0.0 <= m[f"Real2Sketch_R@{k}"] <= 1.0
+            assert 0.0 <= m[f"Real2Sketch_P@{k}"] <= 1.0
+
+
 def test_evaluate_fashion_end_to_end(tiny_model, fashion_root):
     cfg, clip_params, db, ib, tb = tiny_model
     t_val = image_transform(cfg.image_resolution)
@@ -152,3 +234,51 @@ def test_evaluate_fashion_end_to_end(tiny_model, fashion_root):
     results = evaluate_fashion(ctx, DataLoader(src, 4), DataLoader(tgt, 4), epochs=[1])
     for m in results.values():
         assert all(0.0 <= v <= 100.0 for v in m.values())
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    import csv
+
+    root = tmp_path_factory.mktemp("cdata")
+    base = root / "coco"
+    (base / "val2017").mkdir(parents=True)
+    (base / "val2017_masked").mkdir()
+    (base / "annotations").mkdir()
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(6):
+        name = f"{i:012d}.jpg"
+        _rand_png(base / "val2017" / name, rng)
+        _rand_png(base / "val2017_masked" / name, rng)
+        rows.append({"id": name, "query_regions": "2;2;30;30",
+                     "query_class": "dog", "classes": "cat;tree"})
+    with open(base / "coco_eval.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    (base / "annotations" / "captions_val2017.json").write_text(
+        json.dumps({"annotations": [{"image_id": i, "caption": f"c{i}"} for i in range(6)]})
+    )
+    return str(root)
+
+
+def test_evaluate_coco_end_to_end(tiny_model, coco_root):
+    from keds_tpu.data.datasets import CsvCOCO
+    from keds_tpu.evalkit.evaluators import evaluate_coco
+    from keds_tpu.transforms import region_transform
+
+    cfg, clip_params, db, ib, tb = tiny_model
+    t_val = image_transform(cfg.image_resolution)
+    ds = CsvCOCO(transforms=t_val,
+                 transforms_region=region_transform(cfg.image_resolution),
+                 root=coco_root)
+    ctx = EvalContext(
+        clip_params=clip_params, cfg=cfg, retriever=Retriever(db),
+        image_branch=ib, text_branch=tb, compute_dtype=jnp.float32,
+    )
+    results = evaluate_coco(ctx, DataLoader(ds, 3), epochs=[1])
+    for m in results.values():
+        assert m["image_to_ref_mean_rank"] >= 1.0
+        for k in (1, 5):
+            assert 0.0 <= m[f"image_to_ref_R@{k}"] <= 1.0
