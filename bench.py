@@ -97,7 +97,7 @@ def main() -> None:
 
     log(f"bench: devices={jax.devices()} batch={batch} db_rows={db_rows} iters={iters}")
     clip_params, heads, db = ge._build(cfg, db_rows=db_rows, dtype=dtype)
-    retriever = Retriever(db, backend="pallas")
+    retriever = Retriever(db, backend="xla")
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), dtype)
     text = np.zeros((batch, 77), np.int32)

@@ -109,5 +109,9 @@ def load_database(cfg: Config, mesh=None):
         db = db.shard_over(mesh)
     backend = cfg.retrieval_backend
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+        # Measured on v5e at the flagship size (0.5M rows, batch<=128): XLA's
+        # matmul + TopK custom-call edges out the fused kernel (4.8 vs 6.4 ms
+        # at B=32); the Pallas path stays selectable for shapes where fusing
+        # wins (small DBs / large batches).
+        backend = "xla"
     return Retriever(db, backend=backend, mesh=mesh, sharded=sharded)

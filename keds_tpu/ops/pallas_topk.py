@@ -101,6 +101,9 @@ def mips_topk_pallas(
     block_n internally."""
     B, D = queries.shape
     N = db.shape[0]
+    # Don't pad small query batches up to a large tile — the merge loop's
+    # VPU cost scales with the padded row count.
+    block_q = min(block_q, max(16, -(-B // 16) * 16))
     Bp = -(-B // block_q) * block_q
     Np = -(-N // block_n) * block_n
     if Bp != B:
