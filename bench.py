@@ -70,6 +70,9 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--db-rows", type=int, default=None)
     p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--stages", action="store_true",
+                   help="also time encode/retrieval stages separately "
+                        "(compiles extra programs; slow on cold caches)")
     args = p.parse_args()
 
     import jax
@@ -104,36 +107,36 @@ def main() -> None:
     text[:, :8] = [49406, 320, 1125, 539, 265, 267, 1929, 49407]
     text = jnp.asarray(text)
 
-    # --- stage timings (stderr) -------------------------------------------
+    # --- optional stage timings (stderr) ----------------------------------
     # Big arrays (CLIP params, DB) are always jit ARGUMENTS, never closures.
     # Each timed step returns a tensor that feeds the next iteration's input,
-    # serializing execution (see timeit_chain).
-    @jax.jit
-    def enc_step(cp, im):
-        f = mclip.encode_image(cp, cfg, im)
-        return im + (jnp.sum(f) * 1e-30).astype(im.dtype)
+    # serializing execution (see timeit_chain).  Off by default: every extra
+    # jitted program costs minutes of remote compile on a cold cache.
+    if args.stages:
+        @jax.jit
+        def enc_step(cp, im):
+            f = mclip.encode_image(cp, cfg, im)
+            return im + (jnp.sum(f) * 1e-30).astype(im.dtype)
 
-    t_enc = timeit_chain(lambda im: enc_step(clip_params, im), images, iters)
-    log(f"stage encode_image: {t_enc*1e3:.2f} ms/batch ({batch/t_enc:.0f} img/s)")
+        t_enc = timeit_chain(lambda im: enc_step(clip_params, im), images, iters)
+        log(f"stage encode_image: {t_enc*1e3:.2f} ms/batch ({batch/t_enc:.0f} img/s)")
 
-    enc = jax.jit(lambda cp, im: mclip.encode_image(cp, cfg, im))
-    feats = enc(clip_params, images).astype(jnp.float32)
-    q = feats / jnp.linalg.norm(feats, axis=1, keepdims=True)
-    qb = q.astype(db.image_db.dtype)
+        qb = jnp.asarray(rng.standard_normal((batch, cfg.embed_dim)),
+                         db.image_db.dtype)
 
-    @jax.jit
-    def retr_step_xla(q_, d_):
-        vals, _ = mips_topk(q_, d_, 16)
-        return q_ + (jnp.sum(vals) * 1e-30).astype(q_.dtype)
+        @jax.jit
+        def retr_step_xla(q_, d_):
+            vals, _ = mips_topk(q_, d_, 16)
+            return q_ + (jnp.sum(vals) * 1e-30).astype(q_.dtype)
 
-    @jax.jit
-    def retr_step_pallas(q_, d_):
-        vals, _ = mips_topk_fused(q_, d_, 16)
-        return q_ + (jnp.sum(vals) * 1e-30).astype(q_.dtype)
+        @jax.jit
+        def retr_step_pallas(q_, d_):
+            vals, _ = mips_topk_fused(q_, d_, 16)
+            return q_ + (jnp.sum(vals) * 1e-30).astype(q_.dtype)
 
-    t_xla = timeit_chain(lambda s: retr_step_xla(s, db.image_db), qb, iters)
-    t_pal = timeit_chain(lambda s: retr_step_pallas(s, db.image_db), qb, iters)
-    log(f"stage retrieval (1 modality, {db_rows} rows): xla {t_xla*1e3:.2f} ms, pallas {t_pal*1e3:.2f} ms")
+        t_xla = timeit_chain(lambda s: retr_step_xla(s, db.image_db), qb, iters)
+        t_pal = timeit_chain(lambda s: retr_step_pallas(s, db.image_db), qb, iters)
+        log(f"stage retrieval (1 modality, {db_rows} rows): xla {t_xla*1e3:.2f} ms, pallas {t_pal*1e3:.2f} ms")
 
     # --- headline: full composed-query pipeline ---------------------------
     @jax.jit

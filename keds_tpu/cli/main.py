@@ -19,6 +19,21 @@ import os
 import numpy as np
 
 
+def _copy_codebase(cfg) -> None:
+    """Snapshot the package source next to the experiment logs (reference
+    --copy-codebase, src/main.py:389-412 — without the re-exec)."""
+    import shutil
+
+    import keds_tpu
+
+    src = os.path.dirname(os.path.abspath(keds_tpu.__file__))
+    dst = os.path.join(cfg.logs, cfg.name, "code", "keds_tpu")
+    if os.path.exists(dst):
+        raise SystemExit(f"Error. Experiment code already exists at {dst}.")
+    shutil.copytree(src, dst, ignore=shutil.ignore_patterns("__pycache__"))
+    logging.info("copied codebase to %s", dst)
+
+
 def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
@@ -51,7 +66,11 @@ def main(argv=None) -> None:
     cfg = setup_experiment(cfg)
     mesh = setup_runtime(cfg)
     dtype = compute_dtype(cfg)
-    np.random.seed(cfg.seed)
+    # Per-process seed offset so hosts never draw identical data orderings
+    # (reference seed_everything: seed = rank*10 + seed, src/main.py:43-56).
+    np.random.seed(jax.process_index() * 10 + cfg.seed)
+    if cfg.copy_codebase:
+        _copy_codebase(cfg)
 
     # Frozen CLIP: pretrained weights, or a from-scratch architecture preset
     # (reference model_configs path, src/main.py:133-145)
