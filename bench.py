@@ -73,7 +73,13 @@ def main() -> None:
     p.add_argument("--stages", action="store_true",
                    help="also time encode/retrieval stages separately "
                         "(compiles extra programs; slow on cold caches)")
+    p.add_argument("--train", action="store_true",
+                   help="measure the training step instead (image stream, "
+                        "precomputed features, reference recipe batch)")
     args = p.parse_args()
+    if args.train:
+        bench_train(args)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -163,6 +169,63 @@ def main() -> None:
         "value": round(qps, 2),
         "unit": "query/s",
         "vs_baseline": round(qps / A100_BASELINE_QPS, 3),
+    }))
+
+
+def bench_train(args) -> None:
+    """Training-step throughput (BASELINE.json config 5): image-stream loss
+    on precomputed features — retrieval + fusion + frozen text tower + AdamW
+    in one jitted step (reference recipe: batch 128, src/README.md:23)."""
+    import jax
+    import jax.numpy as jnp
+
+    from keds_tpu.runtime import setup_jax
+
+    setup_jax()
+
+    from keds_tpu.config import Config
+    from keds_tpu.models import clip as mclip
+    from keds_tpu.retrieval.database import Retriever
+    from keds_tpu.train.losses import TrainBatch
+    from keds_tpu.train.trainer import make_optimizer, make_train_step
+    import __graft_entry__ as ge
+
+    batch = args.batch or 128
+    db_rows = args.db_rows or (50_000 if args.quick else 500_000)
+    iters = args.iters or (5 if args.quick else 15)
+    cfg = mclip.VIT_L_14
+    log(f"train bench: batch={batch} db_rows={db_rows} iters={iters}")
+    clip_params, heads, db = ge._build(cfg, db_rows=db_rows, dtype=jnp.bfloat16)
+    retriever = Retriever(db, backend="xla")
+    ccfg = Config(lr=1e-4, beta1=0.9, beta2=0.98, eps=1e-6, wd=0.1, warmup=10000)
+    opt, _ = make_optimizer(ccfg, total_steps=600_000)
+    opt_state = opt.init(heads)
+    rng = np.random.default_rng(0)
+    prompt = np.zeros((1, 77), np.int32)
+    prompt[0, :5] = [49406, 320, 1125, 539, 49407]
+    step = make_train_step(
+        clip_params, cfg, retriever, opt, stream="image", prompt_tokens=prompt,
+        split_id=265, db_topk=16, compute_dtype=jnp.bfloat16,
+    )
+    batch_data = TrainBatch(
+        image_features=jnp.asarray(rng.standard_normal((batch, cfg.embed_dim)), jnp.float32),
+        caption_features=jnp.asarray(rng.standard_normal((batch, cfg.embed_dim)), jnp.float32),
+        other_tokens=jnp.zeros((batch, 77), jnp.int32),
+    )
+
+    def chain_step(state):
+        heads_, opt_state_, i = state
+        h, o, _ = step(heads_, opt_state_, batch_data, jax.random.key(0))
+        return (h, o, i)
+
+    t = timeit_chain(chain_step, (heads, opt_state, jnp.zeros(())), iters)
+    sps = batch / t
+    log(f"train step: {t*1e3:.2f} ms -> {sps:.0f} samples/s/chip")
+    print(json.dumps({
+        "metric": "train_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "sample/s",
+        "vs_baseline": round(sps / 2000.0, 3),  # A100 est: faiss+heads ~2k/s
     }))
 
 
