@@ -148,6 +148,7 @@ class TarShardDataset:
         self.seed = seed
         self.rank = rank
         self.world_size = world_size
+        self.partial_batches = partial_batches
         self.epoch = 0
         global_batch = batch_size * world_size
         self.num_batches = train_num_samples // global_batch
@@ -205,7 +206,7 @@ class TarShardDataset:
                 yield np.stack(images), np.stack(caps)
                 images, caps = [], []
                 produced += 1
-        if images and produced < self.num_batches and getattr(self, "partial_batches", False):
+        if images and produced < self.num_batches and self.partial_batches:
             yield np.stack(images), np.stack(caps)
 
 

@@ -150,13 +150,20 @@ class Retriever:
 
     # -- low-level search ---------------------------------------------------
     def search(self, queries: jax.Array, db_array: jax.Array, k: int):
+        interpret = self.interpret
+        if self.backend == "pallas" and not interpret:
+            # Mosaic kernels only compile for TPU; run interpreted elsewhere.
+            try:
+                interpret = jax.default_backend() == "cpu"
+            except Exception:  # pragma: no cover
+                pass
         if self.sharded:
             return mips_topk_sharded(
                 queries, db_array, k, self.mesh, self.axis_name,
-                backend=self.backend, interpret=self.interpret,
+                backend=self.backend, interpret=interpret,
             )
         if self.backend == "pallas":
-            return mips_topk_fused(queries, db_array, k, interpret=self.interpret)
+            return mips_topk_fused(queries, db_array, k, interpret=interpret)
         return mips_topk(queries, db_array, k)
 
     def _gather(self, db_array: jax.Array, idx: jax.Array) -> jax.Array:

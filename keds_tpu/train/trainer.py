@@ -14,7 +14,6 @@ Python in the hot loop and no host<->device traffic beyond input batches.
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
 from typing import Callable, Optional, Tuple
@@ -57,13 +56,6 @@ def make_optimizer(cfg, total_steps: int) -> Tuple[optax.GradientTransformation,
         mask=weight_decay_mask,
     )
     return opt, schedule
-
-
-@dataclasses.dataclass
-class TrainState:
-    heads: FusionHeads
-    opt_state: optax.OptState
-    step: int = 0
 
 
 def make_train_step(
