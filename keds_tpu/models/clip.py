@@ -41,7 +41,9 @@ from keds_tpu.models.layers import (
 class ClipConfig:
     embed_dim: int = 768
     image_resolution: int = 224
-    vision_layers: int = 24
+    # int = ViT depth; tuple = ModifiedResNet stage counts (reference
+    # dispatches the same way, model.py:454-472)
+    vision_layers: object = 24
     vision_width: int = 1024
     vision_patch_size: int = 14
     context_length: int = 77
@@ -51,8 +53,14 @@ class ClipConfig:
     transformer_layers: int = 12
 
     @property
+    def is_vit(self) -> bool:
+        return not isinstance(self.vision_layers, (tuple, list))
+
+    @property
     def vision_heads(self) -> int:
-        return self.vision_width // 64
+        # ViT: width/64 heads; ResNet attnpool: width*32/64 (model.py:455,464)
+        return (self.vision_width // 64 if self.is_vit
+                else self.vision_width * 32 // 64)
 
     @property
     def grid_size(self) -> int:
@@ -183,7 +191,13 @@ def vision_tokens(params: dict, cfg: ClipConfig, images: jax.Array) -> jax.Array
 
 
 def encode_image(params: dict, cfg: ClipConfig, images: jax.Array) -> jax.Array:
-    """(B, H, W, 3) -> (B, embed_dim).  Reference model.py:393-415."""
+    """(B, H, W, 3) -> (B, embed_dim).  Reference model.py:393-415 (ViT) /
+    model.py:273-288 (ModifiedResNet, dispatched on the config like the
+    reference's tuple-vs-int vision_layers)."""
+    if not cfg.is_vit:
+        from keds_tpu.models.resnet import encode_image_resnet
+
+        return encode_image_resnet(params, images, cfg.vision_heads)
     v = params["visual"]
     x = vision_tokens(params, cfg, images)
     x = transformer(x, v["blocks"], cfg.vision_heads, causal=False)

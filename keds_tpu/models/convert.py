@@ -34,18 +34,26 @@ def strip_module_prefix(sd: StateDict) -> StateDict:
 
 def infer_clip_config(sd: StateDict) -> ClipConfig:
     """Infer architecture hyperparameters from a CLIP state dict
-    (reference build_model shape inference, model.py:951-974).  ViT only —
-    the ResNet tower is not part of the flagship path."""
+    (reference build_model shape inference, model.py:951-974): ViT when
+    ``visual.proj`` exists, ModifiedResNet otherwise."""
     sd = strip_module_prefix(sd)
-    if "visual.proj" not in sd:
-        raise NotImplementedError("Only ViT CLIP checkpoints are supported")
-    vision_width = sd["visual.conv1.weight"].shape[0]
-    vision_layers = len(
-        [k for k in sd if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")]
-    )
-    vision_patch_size = sd["visual.conv1.weight"].shape[-1]
-    grid_size = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
-    image_resolution = vision_patch_size * grid_size
+    if "visual.proj" in sd:
+        vision_width = sd["visual.conv1.weight"].shape[0]
+        vision_layers = len(
+            [k for k in sd if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")]
+        )
+        vision_patch_size = sd["visual.conv1.weight"].shape[-1]
+        grid_size = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        image_resolution = vision_patch_size * grid_size
+    else:
+        counts = [len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}")})
+                  for b in (1, 2, 3, 4)]
+        vision_layers = tuple(counts)
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        output_width = round(
+            (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+        image_resolution = output_width * 32
+        vision_patch_size = 0
     embed_dim = sd["text_projection"].shape[1]
     context_length = sd["positional_embedding"].shape[0]
     vocab_size = sd["token_embedding.weight"].shape[0]
@@ -116,11 +124,11 @@ def clip_state_dict_to_pytree(sd: StateDict, cfg: ClipConfig | None = None) -> t
     sd = strip_module_prefix(sd)
     if cfg is None:
         cfg = infer_clip_config(sd)
-    P = cfg.vision_patch_size
-    conv = _f32(sd["visual.conv1.weight"])  # (vw, 3, P, P)
-    patch_w = conv.transpose(2, 3, 1, 0).reshape(P * P * 3, cfg.vision_width)
-    params = {
-        "visual": {
+    if cfg.is_vit:
+        P = cfg.vision_patch_size
+        conv = _f32(sd["visual.conv1.weight"])  # (vw, 3, P, P)
+        patch_w = conv.transpose(2, 3, 1, 0).reshape(P * P * 3, cfg.vision_width)
+        visual = {
             "patch_w": patch_w,
             "cls": _f32(sd["visual.class_embedding"]),
             "pos": _f32(sd["visual.positional_embedding"]),
@@ -130,7 +138,13 @@ def clip_state_dict_to_pytree(sd: StateDict, cfg: ClipConfig | None = None) -> t
             "ln_post_g": _f32(sd["visual.ln_post.weight"]),
             "ln_post_b": _f32(sd["visual.ln_post.bias"]),
             "proj": _f32(sd["visual.proj"]),
-        },
+        }
+    else:
+        from keds_tpu.models.resnet import resnet_state_dict_to_pytree
+
+        visual, _meta = resnet_state_dict_to_pytree(sd)
+    params = {
+        "visual": visual,
         "text": {
             "tok_emb": _f32(sd["token_embedding.weight"]),
             "pos": _f32(sd["positional_embedding"]),
@@ -148,25 +162,32 @@ def clip_pytree_to_state_dict(params: dict, cfg: ClipConfig) -> StateDict:
     """Inverse of :func:`clip_state_dict_to_pytree` (for writing
     reference-format checkpoints)."""
     v, t = params["visual"], params["text"]
-    P = cfg.vision_patch_size
-    patch_w = np.asarray(v["patch_w"]).reshape(P, P, 3, cfg.vision_width)
-    sd: StateDict = {
-        "visual.conv1.weight": patch_w.transpose(3, 2, 0, 1),
-        "visual.class_embedding": np.asarray(v["cls"]),
-        "visual.positional_embedding": np.asarray(v["pos"]),
-        "visual.ln_pre.weight": np.asarray(v["ln_pre_g"]),
-        "visual.ln_pre.bias": np.asarray(v["ln_pre_b"]),
-        "visual.ln_post.weight": np.asarray(v["ln_post_g"]),
-        "visual.ln_post.bias": np.asarray(v["ln_post_b"]),
-        "visual.proj": np.asarray(v["proj"]),
+    if cfg.is_vit:
+        P = cfg.vision_patch_size
+        patch_w = np.asarray(v["patch_w"]).reshape(P, P, 3, cfg.vision_width)
+        sd: StateDict = {
+            "visual.conv1.weight": patch_w.transpose(3, 2, 0, 1),
+            "visual.class_embedding": np.asarray(v["cls"]),
+            "visual.positional_embedding": np.asarray(v["pos"]),
+            "visual.ln_pre.weight": np.asarray(v["ln_pre_g"]),
+            "visual.ln_pre.bias": np.asarray(v["ln_pre_b"]),
+            "visual.ln_post.weight": np.asarray(v["ln_post_g"]),
+            "visual.ln_post.bias": np.asarray(v["ln_post_b"]),
+            "visual.proj": np.asarray(v["proj"]),
+        }
+        _unstack_blocks(v["blocks"], "visual.transformer", sd)
+    else:
+        from keds_tpu.models.resnet import resnet_pytree_to_state_dict
+
+        sd = resnet_pytree_to_state_dict(v)
+    sd.update({
         "token_embedding.weight": np.asarray(t["tok_emb"]),
         "positional_embedding": np.asarray(t["pos"]),
         "ln_final.weight": np.asarray(t["ln_final_g"]),
         "ln_final.bias": np.asarray(t["ln_final_b"]),
         "text_projection": np.asarray(t["proj"]),
         "logit_scale": np.asarray(params["logit_scale"]),
-    }
-    _unstack_blocks(v["blocks"], "visual.transformer", sd)
+    })
     _unstack_blocks(t["blocks"], "transformer", sd)
     return sd
 

@@ -165,3 +165,39 @@ def resnet_state_dict_to_pytree(sd: dict) -> tuple:
     meta = {"vision_heads": vision_heads, "image_resolution": image_resolution,
             "embed_dim": embed_dim, "vision_layers": tuple(counts)}
     return visual, meta
+
+
+def _conv_w_back(w) -> np.ndarray:
+    return np.asarray(w).transpose(3, 2, 0, 1)  # HWIO -> OIHW
+
+
+def _bn_back(p: dict, prefix: str, out: dict) -> None:
+    out[f"{prefix}.weight"] = np.asarray(p["g"])
+    out[f"{prefix}.bias"] = np.asarray(p["b"])
+    out[f"{prefix}.running_mean"] = np.asarray(p["mean"])
+    out[f"{prefix}.running_var"] = np.asarray(p["var"])
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def resnet_pytree_to_state_dict(visual: dict) -> dict:
+    """Inverse converter (for writing reference-format RN checkpoints)."""
+    sd: dict = {}
+    stem = visual["stem"]
+    for i in (1, 2, 3):
+        sd[f"visual.conv{i}.weight"] = _conv_w_back(stem[f"conv{i}_w"])
+        _bn_back(stem[f"bn{i}"], f"visual.bn{i}", sd)
+    for li, layer in enumerate(visual["layers"], start=1):
+        for bi, blk in enumerate(layer):
+            pre = f"visual.layer{li}.{bi}"
+            for i in (1, 2, 3):
+                sd[f"{pre}.conv{i}.weight"] = _conv_w_back(blk[f"conv{i}_w"])
+                _bn_back(blk[f"bn{i}"], f"{pre}.bn{i}", sd)
+            if "down_conv_w" in blk:
+                sd[f"{pre}.downsample.0.weight"] = _conv_w_back(blk["down_conv_w"])
+                _bn_back(blk["down_bn"], f"{pre}.downsample.1", sd)
+    ap = visual["attnpool"]
+    sd["visual.attnpool.positional_embedding"] = np.asarray(ap["pos"])
+    for name in ("q", "k", "v", "c"):
+        sd[f"visual.attnpool.{name}_proj.weight"] = np.asarray(ap[f"{name}_w"]).T
+        sd[f"visual.attnpool.{name}_proj.bias"] = np.asarray(ap[f"{name}_b"])
+    return sd

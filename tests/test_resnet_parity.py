@@ -55,3 +55,24 @@ def test_modified_resnet_parity(ref_model_mod):
     ours = encode_image_resnet(params, jnp.asarray(imgs.transpose(0, 2, 3, 1)),
                                num_heads=meta["vision_heads"])
     np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4, rtol=5e-4)
+
+    # unified path: full state-dict conversion + dispatch + roundtrip
+    from keds_tpu.models import clip as jclip, convert
+
+    params_full, cfg = convert.clip_state_dict_to_pytree(sd)
+    assert not cfg.is_vit
+    assert cfg.vision_layers == (1, 1, 1, 1)
+    params_full = jax.tree.map(jnp.asarray, params_full)
+    ours2 = jclip.encode_image(params_full, cfg, jnp.asarray(imgs.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(ours2), ref, atol=5e-4, rtol=5e-4)
+    # text tower still works with the RN visual attached
+    text = np.zeros((2, 77), dtype=np.int64)
+    text[:, 0] = 49406
+    text[:, 1] = 49407
+    with torch.no_grad():
+        ref_t = m.encode_text(torch.from_numpy(text)).numpy()
+    ours_t = jclip.encode_text(params_full, cfg, jnp.asarray(text))
+    np.testing.assert_allclose(np.asarray(ours_t), ref_t, atol=5e-4, rtol=5e-4)
+    # roundtrip back to a torch-loadable state dict
+    sd2 = convert.clip_pytree_to_state_dict(jax.tree.map(np.asarray, params_full), cfg)
+    m.load_state_dict({k: torch.as_tensor(v) for k, v in sd2.items()})
