@@ -49,6 +49,7 @@ def main(argv=None) -> None:
         image_branch=cfg.image_branch, text_branch=cfg.text_branch,
         batch_size=cfg.batch_size, db_topk=cfg.db_topk,
         compute_dtype=compute_dtype(cfg),
+        mesh=mesh if mesh.devices.size > 1 else None,
     )
     root = cfg.root_data
     mk_loader = lambda ds: DataLoader(ds, cfg.batch_size, num_workers=cfg.workers)  # noqa: E731

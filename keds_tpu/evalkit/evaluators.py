@@ -87,6 +87,10 @@ class EvalContext:
     batch_size: int = 64
     db_topk: int = 16
     compute_dtype: object = jnp.bfloat16
+    # Optional mesh: eval batches are sharded over the 'data' axis so corpus
+    # and query encoding scale across chips (BASELINE config 4).  Batches are
+    # padded to the axis size.
+    mesh: object = None
     _jit_cache: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -106,9 +110,25 @@ class EvalContext:
     def encode_text(self, text) -> jax.Array:
         return self._encode_text(self.clip_c, jnp.asarray(text))
 
+    def _shard_batch(self, x: jax.Array):
+        """Pad the batch to the mesh axis and place it sharded; returns the
+        (possibly padded) array and the real row count."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = x.shape[0]
+        w = self.mesh.shape["data"]
+        pad = (-n) % w
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        return jax.device_put(x, NamedSharding(self.mesh, P("data"))), n
+
     # -- cached query-side precomputation -----------------------------------
     def image_features(self, images) -> jax.Array:
-        return self._encode_image(self.clip_c, jnp.asarray(images))
+        images = jnp.asarray(images)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            images, n = self._shard_batch(images)
+            return self._encode_image(self.clip_c, images)[:n]
+        return self._encode_image(self.clip_c, images)
 
     def retrieved(self, feats: jax.Array):
         return self.retriever.retrieve_features(

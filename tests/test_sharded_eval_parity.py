@@ -42,13 +42,14 @@ def test_composed_features_sharded_vs_replicated():
     images = rng.standard_normal((5, 32, 32, 3)).astype(np.float32)
 
     outs = []
-    for retr in (
-        Retriever(db_rep),
-        Retriever(db_sh, mesh=mesh, sharded=True),
+    for retr, ctx_mesh in (
+        (Retriever(db_rep), None),
+        (Retriever(db_sh, mesh=mesh, sharded=True), mesh),
     ):
         ctx = EvalContext(clip_params=clip_params, cfg=cfg, retriever=retr,
-                          compute_dtype=jnp.float32)
+                          compute_dtype=jnp.float32, mesh=ctx_mesh)
         feats = ctx.image_features(images)
+        assert feats.shape[0] == 5  # batch padded to the mesh then unpadded
         ti, tt = ctx.retrieved(feats)
         compose = ctx.composed_fn("retrieval", use_text_condition=True)
         outs.append(np.asarray(compose(heads, feats, ti, tt, jnp.asarray(text))))
