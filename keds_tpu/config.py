@@ -165,7 +165,7 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
     add("--db-topk", type=int, default=16)
     add("--db-shard", action="store_true", default=False)
     add("--retrieval-backend", type=str, default="auto",
-        choices=["auto", "xla", "pallas"])
+        choices=["auto", "xla", "pallas", "int8"])
     add("--model", type=str, default="ViT-L/14", choices=MODEL_CHOICES)
     add("--middle_dim", type=int, default=512)
     add("--droprate", type=float, default=0.1)

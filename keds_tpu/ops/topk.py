@@ -67,6 +67,50 @@ def _local_then_merge(queries, db_shard, k, axis_name, backend, interpret):
     return mvals, midx
 
 
+def quantize_int8(db: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8 quantization: row ≈ scale * row_i8.
+    Returns (values (N, D) int8, scales (N,) f32).  Quarters the HBM
+    footprint of the knowledge DB and moves scoring onto the int8 MXU path —
+    the serving mode for databases far beyond the reference's 0.5M rows."""
+    db = jnp.asarray(db, jnp.float32)
+    scale = jnp.max(jnp.abs(db), axis=1) / 127.0
+    q = jnp.round(db / jnp.maximum(scale, 1e-12)[:, None])
+    return q.astype(jnp.int8), scale
+
+
+def mips_topk_int8(
+    queries: jax.Array,
+    db_i8: jax.Array,
+    db_scale: jax.Array,
+    k: int,
+    oversample: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate top-k over an int8-quantized DB with exact-order rescoring.
+
+    Stage 1 scores all rows on the int8 MXU (int32 accumulate) with per-row
+    dequant scales folded into the top-k input; stage 2 re-ranks the
+    ``k * oversample`` candidates in float32 so the returned order matches
+    the dequantized DB exactly.  Set ``oversample=1`` to skip rescoring.
+    """
+    qs = jnp.max(jnp.abs(queries), axis=1) / 127.0
+    q_i8 = jnp.round(queries / jnp.maximum(qs, 1e-12)[:, None]).astype(jnp.int8)
+    raw = jax.lax.dot_general(
+        q_i8, db_i8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = raw.astype(jnp.float32) * db_scale[None, :]
+    kk = min(k * max(oversample, 1), db_i8.shape[0])
+    cand_vals, cand_idx = jax.lax.top_k(scores, kk)
+    if oversample <= 1:
+        vals = cand_vals * qs[:, None]
+        return vals[:, :k], cand_idx[:, :k].astype(jnp.int32)
+    # exact rescore of the candidate rows in f32
+    cand_rows = db_i8[cand_idx].astype(jnp.float32) * db_scale[cand_idx][:, :, None]
+    exact = jnp.einsum("bd,bkd->bk", queries.astype(jnp.float32), cand_rows)
+    vals, pos = jax.lax.top_k(exact, k)
+    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    return vals, idx.astype(jnp.int32)
+
+
 def mips_topk_sharded(
     queries: jax.Array,
     db: jax.Array,

@@ -23,7 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from keds_tpu.ops.topk import mips_topk, mips_topk_fused, mips_topk_sharded
+from keds_tpu.ops.topk import (
+    mips_topk,
+    mips_topk_fused,
+    mips_topk_int8,
+    mips_topk_sharded,
+    quantize_int8,
+)
 
 
 def _l2_normalize(x: np.ndarray) -> np.ndarray:
@@ -147,6 +153,14 @@ class Retriever:
         self.interpret = interpret
         if sharded and mesh is None:
             raise ValueError("sharded retrieval requires a mesh")
+        self._int8: dict = {}
+        if backend == "int8":
+            if sharded:
+                raise ValueError("int8 retrieval is not yet sharded")
+            # Quantize both modalities once; scoring runs on the int8 MXU
+            # with exact f32 rescoring of the oversampled candidates.
+            for name, arr in (("image", db.image_db), ("text", db.text_db)):
+                self._int8[name] = quantize_int8(arr)
 
     # -- low-level search ---------------------------------------------------
     def search(self, queries: jax.Array, db_array: jax.Array, k: int):
@@ -162,6 +176,10 @@ class Retriever:
                 queries, db_array, k, self.mesh, self.axis_name,
                 backend=self.backend, interpret=interpret,
             )
+        if self.backend == "int8":
+            modality = "image" if db_array is self.db.image_db else "text"
+            q8, scale = self._int8[modality]
+            return mips_topk_int8(queries.astype(jnp.float32), q8, scale, k)
         if self.backend == "pallas":
             return mips_topk_fused(queries, db_array, k, interpret=interpret)
         return mips_topk(queries, db_array, k)

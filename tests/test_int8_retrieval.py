@@ -1,0 +1,74 @@
+"""Int8-quantized retrieval: recall overlap vs exact search and rescoring
+behaviour."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from keds_tpu.ops.topk import mips_topk, mips_topk_int8, quantize_int8
+
+
+def _db(n=5000, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_quantize_roundtrip_error():
+    db = _db(200)
+    q8, scale = quantize_int8(jnp.asarray(db))
+    assert q8.dtype == jnp.int8 and scale.shape == (200,)
+    deq = np.asarray(q8, np.float32) * np.asarray(scale)[:, None]
+    err = np.abs(deq - db).max()
+    assert err <= np.asarray(scale).max() * 0.51  # half-ulp of the quant grid
+
+
+def test_int8_topk_overlap_with_exact():
+    db = _db()
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    _, exact_idx = mips_topk(jnp.asarray(q), jnp.asarray(db), 16)
+    q8, scale = quantize_int8(jnp.asarray(db))
+    _, approx_idx = mips_topk_int8(jnp.asarray(q), q8, scale, 16, oversample=4)
+    overlaps = [
+        len(set(np.asarray(exact_idx[i]).tolist())
+            & set(np.asarray(approx_idx[i]).tolist())) / 16
+        for i in range(16)
+    ]
+    assert np.mean(overlaps) >= 0.9, np.mean(overlaps)
+
+
+def test_int8_rescoring_orders_by_exact_dequant():
+    """With oversample>1 the returned candidates are ordered by exact f32
+    scores against the dequantized rows."""
+    db = _db(300)
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((4, 64)).astype(np.float32)
+    q8, scale = quantize_int8(jnp.asarray(db))
+    vals, idx = mips_topk_int8(jnp.asarray(q), q8, scale, 8, oversample=4)
+    deq = np.asarray(q8, np.float32) * np.asarray(scale)[:, None]
+    for i in range(4):
+        got = np.asarray(vals[i])
+        expect = q[i] @ deq[np.asarray(idx[i])].T
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+        assert (np.diff(got) <= 1e-5).all()  # descending
+
+
+def test_int8_retriever_backend():
+    import jax
+
+    from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+
+    db = _db(400)
+    kdb = KnowledgeDB.from_arrays(db, _db(400, seed=5), dtype=jnp.float32)
+    r8 = Retriever(kdb, backend="int8")
+    rx = Retriever(kdb, backend="xla")
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((6, 64)).astype(np.float32)
+    ti8, tt8 = r8.retrieve_features(jnp.asarray(q), k=8, rng=None)
+    tix, ttx = rx.retrieve_features(jnp.asarray(q), k=8, rng=None)
+    # int8-with-rescore neighbors overlap the exact set heavily
+    close = np.mean(np.abs(np.asarray(ti8) - np.asarray(tix)) < 1e-3)
+    assert ti8.shape == tix.shape
+    assert close > 0.7
