@@ -171,12 +171,13 @@ class EvalContext:
 
 
 def _encode_corpus(ctx: EvalContext, target_loader) -> Tuple[np.ndarray, List[str]]:
+    # Dispatch every batch before fetching any result: per-batch host syncs
+    # serialize a full dispatch round trip each (30ms on tunneled backends).
     feats, names = [], []
     for images, paths in target_loader:
-        f = _norm(ctx.image_features(images).astype(jnp.float32))
-        feats.append(np.asarray(f))
+        feats.append(_norm(ctx.image_features(images).astype(jnp.float32)))
         names.extend(paths)
-    return np.concatenate(feats, axis=0), names
+    return np.concatenate([np.asarray(f) for f in feats], axis=0), names
 
 
 def _precompute_queries(ctx: EvalContext, query_loader, unpack) -> List[dict]:
@@ -222,13 +223,11 @@ def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
         heads_ib = ctx.load_heads(ctx.image_branch, j)
         heads_tb = ctx.load_heads(ctx.text_branch, j)
         composed, composed_tb = [], []
-        for b in cache:
-            c_ib = compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"])
-            c_tb = compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"])
-            composed.append(np.asarray(c_ib))
-            composed_tb.append(np.asarray(c_tb))
-        composed = np.concatenate(composed)
-        composed_tb = np.concatenate(composed_tb)
+        for b in cache:  # dispatch all batches, fetch afterwards
+            composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
+            composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
+        composed = np.concatenate([np.asarray(c) for c in composed])
+        composed_tb = np.concatenate([np.asarray(c) for c in composed_tb])
         mixture = composed * 0.5 + composed_tb * 0.5
         mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
         feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
@@ -263,13 +262,13 @@ def evaluate_cirr_test(ctx: EvalContext, query_loader, target_loader,
     heads_tb = ctx.load_heads(ctx.text_branch, text_epoch)
     compose = ctx.composed_fn("retrieval", use_text_condition=True)
     composed, composed_tb, captions = [], [], []
-    for b in cache:
-        composed.append(np.asarray(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"])))
-        composed_tb.append(np.asarray(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"])))
-        captions.append(np.asarray(_norm(ctx.encode_text(b["caption_only"]).astype(jnp.float32))))
-    composed = np.concatenate(composed)
-    composed_tb = np.concatenate(composed_tb)
-    captions = np.concatenate(captions)
+    for b in cache:  # dispatch all batches, fetch afterwards
+        composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
+        composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
+        captions.append(_norm(ctx.encode_text(b["caption_only"]).astype(jnp.float32)))
+    composed = np.concatenate([np.asarray(c) for c in composed])
+    composed_tb = np.concatenate([np.asarray(c) for c in composed_tb])
+    captions = np.concatenate([np.asarray(c) for c in captions])
     mixture = 0.5 * composed_tb + 0.5 * composed
     mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
     out_fn = partial(M.get_cirr_testoutput, corpus,
@@ -306,11 +305,11 @@ def evaluate_fashion(ctx: EvalContext, source_loader, target_loader,
         heads_ib = ctx.load_heads(ctx.image_branch, 2 * j - 1)
         heads_tb = ctx.load_heads(ctx.text_branch, 2 * j)
         composed, composed_tb = [], []
-        for b in cache:
-            composed.append(np.asarray(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"])))
-            composed_tb.append(np.asarray(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"])))
-        composed = np.concatenate(composed)
-        composed_tb = np.concatenate(composed_tb)
+        for b in cache:  # dispatch all batches, fetch afterwards
+            composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
+            composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
+        composed = np.concatenate([np.asarray(c) for c in composed])
+        composed_tb = np.concatenate([np.asarray(c) for c in composed_tb])
         mixture = 0.05 * j * composed_tb + (1 - 0.05 * j) * composed
         mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
         feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
@@ -339,10 +338,9 @@ def evaluate_coco(ctx: EvalContext, loader,
         )
 
     cache = _precompute_queries(ctx, loader, unpack)
-    corpus = np.concatenate([
-        np.asarray(_norm(ctx.image_features(b["target_images"]).astype(jnp.float32)))
-        for b in cache
-    ])
+    corpus_parts = [_norm(ctx.image_features(b["target_images"]).astype(jnp.float32))
+                    for b in cache]
+    corpus = np.concatenate([np.asarray(c) for c in corpus_parts])
     compose = ctx.composed_fn("retrieval", use_text_condition=True)
     logit_scale = float(np.exp(np.asarray(ctx.clip_params["logit_scale"])))
     results = {}
@@ -352,11 +350,11 @@ def evaluate_coco(ctx: EvalContext, loader,
         # (eval_utils.py:483).
         heads_tb = ctx.load_heads(ctx.image_branch, 2 * j)
         composed, composed_tb = [], []
-        for b in cache:
-            composed.append(np.asarray(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"])))
-            composed_tb.append(np.asarray(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"])))
-        composed = np.concatenate(composed)
-        composed_tb = np.concatenate(composed_tb)
+        for b in cache:  # dispatch all batches, fetch afterwards
+            composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
+            composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
+        composed = np.concatenate([np.asarray(c) for c in composed])
+        composed_tb = np.concatenate([np.asarray(c) for c in composed_tb])
         mixture = 0.05 * j * composed_tb + (1 - 0.05 * j) * composed
         mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
         feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
@@ -397,13 +395,13 @@ def evaluate_imgnet_retrieval(ctx: EvalContext, prompts: Sequence[str],
         for p_ind, p in enumerate(prompts):
             text = jnp.asarray(tokenize(p))
             composed, composed_tb, labels_all = [], [], []
-            for b in cache:
+            for b in cache:  # dispatch all batches, fetch afterwards
                 text_b = jnp.broadcast_to(text, (b["feats"].shape[0], text.shape[1]))
-                composed.append(np.asarray(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], text_b)))
-                composed_tb.append(np.asarray(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], text_b)))
+                composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], text_b))
+                composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], text_b))
                 labels_all.append(b["labels"] + n_class * p_ind)
-            composed = np.concatenate(composed)
-            composed_tb = np.concatenate(composed_tb)
+            composed = np.concatenate([np.asarray(c) for c in composed])
+            composed_tb = np.concatenate([np.asarray(c) for c in composed_tb])
             labels_all = np.concatenate(labels_all)
             mixture = 0.1 * j * composed_tb + (1 - 0.1 * j) * composed
             mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
