@@ -1,0 +1,99 @@
+"""ComposedQueryEngine — the serving entry point.
+
+Wraps the flagship inference primitive (SURVEY.md §3.5: encode reference
+image -> top-16 bi-modality retrieval -> dual-stream fusion -> frozen
+text-tower compose -> rank against a corpus) as one jitted program with a
+pipelined dispatch loop: batches are dispatched back-to-back and results
+fetched afterwards, so per-dispatch host/tunnel gaps hide behind device
+execution (this is how bench.py's 494 q/s/chip headline is achieved; see
+BENCH_NOTES.md).
+
+    engine = ComposedQueryEngine(clip_params, cfg, heads, db)
+    corpus = engine.encode_corpus(image_batches)          # (N, D) unit-norm
+    ranks  = engine.search(query_batches, text_batches, corpus, topn=10)
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keds_tpu.models import clip as mclip
+from keds_tpu.models.composition import FusionHeads, compose_pseudo_tokens
+from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+from keds_tpu.tokenizer import star_token_id
+
+
+class ComposedQueryEngine:
+    def __init__(
+        self,
+        clip_params: dict,
+        cfg: mclip.ClipConfig,
+        heads: FusionHeads,
+        db: KnowledgeDB,
+        *,
+        retriever: Optional[Retriever] = None,
+        db_topk: int = 16,
+        compute_dtype=jnp.bfloat16,
+    ):
+        cast = lambda a: jnp.asarray(a, compute_dtype) if jnp.issubdtype(  # noqa: E731
+            np.asarray(a).dtype, np.floating) else jnp.asarray(a)
+        self.cfg = cfg
+        self.clip_c = jax.tree.map(cast, clip_params)
+        self.heads = jax.tree.map(cast, heads)
+        self.db = db
+        self.retriever = retriever or Retriever(db)
+        self.db_topk = db_topk
+        split_id = star_token_id()
+
+        @jax.jit
+        def _encode(cp, images):
+            f = mclip.encode_image(cp, cfg, images)
+            return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+        retr = self.retriever
+
+        @jax.jit
+        def _composed(cp, heads, db_img, db_txt, images, text):
+            f = mclip.encode_image(cp, cfg, images)
+            ti, tt = retr.retrieve_features(
+                f.astype(jnp.float32), k=db_topk, db_arrays=(db_img, db_txt)
+            )
+            tok = compose_pseudo_tokens(
+                heads, f, ti.astype(f.dtype), tt.astype(f.dtype), train=False
+            )
+            out = mclip.encode_text_img_retrieval(cp, cfg, text, tok, split_id=split_id)
+            return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+
+        self._encode = _encode
+        self._composed = _composed
+
+    # -- corpus -------------------------------------------------------------
+    def encode_corpus(self, image_batches: Iterable) -> np.ndarray:
+        """Encode target images into unit-norm features.  All batches are
+        dispatched before any result is fetched (pipelined)."""
+        outs = [self._encode(self.clip_c, jnp.asarray(b)) for b in image_batches]
+        return np.concatenate([np.asarray(o.astype(jnp.float32)) for o in outs])
+
+    # -- queries ------------------------------------------------------------
+    def compose(self, image_batches: Sequence, text_batches: Sequence) -> np.ndarray:
+        """Composed query features for (reference image, prompt-with-*) pairs,
+        pipelined across batches."""
+        outs = [
+            self._composed(self.clip_c, self.heads, self.db.image_db,
+                           self.db.text_db, jnp.asarray(im), jnp.asarray(tx))
+            for im, tx in zip(image_batches, text_batches)
+        ]
+        return np.concatenate([np.asarray(o.astype(jnp.float32)) for o in outs])
+
+    def search(self, image_batches: Sequence, text_batches: Sequence,
+               corpus: np.ndarray, topn: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+        """Rank a corpus for every composed query; returns (scores, indices)
+        of the top ``topn``."""
+        q = self.compose(image_batches, text_batches)
+        sims = q @ np.asarray(corpus, np.float32).T
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :topn]
+        return np.take_along_axis(sims, idx, axis=1), idx

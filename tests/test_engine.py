@@ -1,0 +1,47 @@
+"""ComposedQueryEngine: pipelined corpus encode + composed search."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from keds_tpu.engine import ComposedQueryEngine
+from keds_tpu.models import clip as mclip, heads as mheads
+from keds_tpu.models.composition import FusionHeads
+from keds_tpu.retrieval.database import KnowledgeDB
+
+D = 64
+
+
+def test_engine_end_to_end():
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=2,
+    )
+    clip_params = mclip.init_clip(jax.random.key(0), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, D, 48, D),
+        retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+    )
+    rng = np.random.default_rng(0)
+    db = KnowledgeDB.from_arrays(rng.standard_normal((128, D)),
+                                 rng.standard_normal((128, D)), dtype=jnp.float32)
+    engine = ComposedQueryEngine(clip_params, cfg, heads, db,
+                                 compute_dtype=jnp.float32, db_topk=8)
+
+    corpus_batches = [rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+                      for _ in range(3)]
+    corpus = engine.encode_corpus(corpus_batches)
+    assert corpus.shape == (12, D)
+    np.testing.assert_allclose(np.linalg.norm(corpus, axis=1), 1.0, atol=1e-4)
+
+    text = np.zeros((2, 77), np.int32)
+    text[:, :8] = [49406, 320, 1125, 539, 265, 267, 1929, 49407]
+    q_imgs = [rng.standard_normal((2, 32, 32, 3)).astype(np.float32)]
+    scores, idx = engine.search(q_imgs, [text], corpus, topn=5)
+    assert scores.shape == (2, 5) and idx.shape == (2, 5)
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+    assert (idx < 12).all() and (idx >= 0).all()
