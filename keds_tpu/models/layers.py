@@ -80,24 +80,30 @@ def multi_head_attention(
     Dh = D // H
     qkv = jnp.dot(x, qkv_w.astype(x.dtype)) + qkv_b.astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
-    k = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
-    v = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    # Keep the (B, S, H, Dh) layout end to end: explicit head transposes
+    # materialize full-activation copies ("data formatting" dominated the
+    # non-matmul time in profiles); dot_general handles these dims in-place.
+    q = q.reshape(B, S, H, Dh)
+    k = k.reshape(B, S, H, Dh)
+    v = v.reshape(B, S, H, Dh)
     if causal is not None and flash_enabled():
         # The only masks in this model family are none/causal; the fused
         # kernel keeps scores+softmax in VMEM (keds_tpu/ops/attention.py).
         from keds_tpu.ops.attention import flash_attention
 
-        ctx = flash_attention(q, k, v, causal)
+        ctx = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), causal,
+        ).transpose(0, 2, 1, 3)
     else:
         scale = 1.0 / math.sqrt(Dh)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                             preferred_element_type=jnp.float32)
         if mask is not None:
             scores = scores + mask.astype(jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    ctx = ctx.reshape(B, S, D)
     return jnp.dot(ctx, out_w.astype(x.dtype)) + out_b.astype(x.dtype)
 
 
