@@ -45,26 +45,49 @@ def mips_topk_fused(queries: jax.Array, db: jax.Array, k: int, *,
                             interpret=interpret)
 
 
-def _local_then_merge(queries, db_shard, k, axis_name, backend, interpret):
-    """shard_map body: local top-k over this device's DB rows, then a global
-    merge over the mesh axis."""
-    n_local = db_shard.shape[0]
-    if backend == "pallas":
-        vals, idx = mips_topk_fused(queries, db_shard, k, interpret=interpret)
-    else:
-        vals, idx = mips_topk(queries, db_shard, k)
-    shard = jax.lax.axis_index(axis_name)
-    gidx = idx + (shard * n_local).astype(jnp.int32)
-    # (W, B, k) candidates ride the ICI; W*k per query is tiny.
+def _merge_candidates(vals, gidx, k, axis_name, n_real):
+    """All-gather (W, B, k) local candidates over the mesh axis and take the
+    global top-k; candidates pointing at padding rows (gidx >= n_real) are
+    masked out — zero pad rows would otherwise outrank negative true
+    scores."""
+    if n_real is not None:
+        vals = jnp.where(gidx < n_real, vals, -jnp.inf)
     all_vals = jax.lax.all_gather(vals, axis_name)
     all_idx = jax.lax.all_gather(gidx, axis_name)
     W = all_vals.shape[0]
-    B = queries.shape[0]
+    B = vals.shape[0]
     cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(B, W * k)
     cand_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(B, W * k)
     mvals, mpos = jax.lax.top_k(cand_vals, k)
     midx = jnp.take_along_axis(cand_idx, mpos, axis=1)
     return mvals, midx
+
+
+def _pad_candidates(vals, idx, k):
+    """Pad per-shard candidate slots up to k (tiny shards may hold fewer
+    rows than k); padded slots carry -inf and index -1."""
+    short = k - vals.shape[1]
+    if short <= 0:
+        return vals, idx
+    B = vals.shape[0]
+    vals = jnp.concatenate([vals, jnp.full((B, short), -jnp.inf, vals.dtype)], axis=1)
+    idx = jnp.concatenate([idx, jnp.full((B, short), -1, idx.dtype)], axis=1)
+    return vals, idx
+
+
+def _local_then_merge(queries, db_shard, k, axis_name, backend, interpret, n_real):
+    """shard_map body: local top-k over this device's DB rows, then a global
+    merge over the mesh axis."""
+    n_local = db_shard.shape[0]
+    k_local = min(k, n_local)
+    if backend == "pallas":
+        vals, idx = mips_topk_fused(queries, db_shard, k_local, interpret=interpret)
+    else:
+        vals, idx = mips_topk(queries, db_shard, k_local)
+    shard = jax.lax.axis_index(axis_name)
+    gidx = idx + (shard * n_local).astype(jnp.int32)
+    vals, gidx = _pad_candidates(vals, gidx, k)
+    return _merge_candidates(vals, gidx, k, axis_name, n_real)
 
 
 def quantize_int8(db: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -119,14 +142,17 @@ def mips_topk_sharded(
     axis_name: str = "data",
     backend: str = "xla",
     interpret: bool = False,
+    n_real: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Search a row-sharded DB.  ``db`` rows are split over ``axis_name``;
     ``queries`` are replicated to every shard, each shard computes a local
     top-k on its rows, and candidates are merged with an all-gather.
+    ``n_real`` marks the true row count when the DB was padded to the axis.
     Results are identical (up to ties) to :func:`mips_topk` on the full DB.
     """
     body = partial(_local_then_merge, k=k, axis_name=axis_name,
-                   backend=backend, interpret=interpret)
+                   backend=backend, interpret=interpret,
+                   n_real=n_real if n_real is not None else db.shape[0])
     fn = jax.shard_map(
         body,
         mesh=mesh,
@@ -135,3 +161,38 @@ def mips_topk_sharded(
         check_vma=False,
     )
     return fn(queries, db)
+
+
+def mips_topk_int8_sharded(
+    queries: jax.Array,
+    db_i8: jax.Array,
+    db_scale: jax.Array,
+    k: int,
+    mesh: jax.sharding.Mesh,
+    axis_name: str = "data",
+    oversample: int = 4,
+    n_real: int | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Row-sharded int8 search: each shard runs :func:`mips_topk_int8`
+    (including its exact per-shard rescoring) on its rows, then candidates
+    merge over the axis — the quantized analog of faiss's all-GPU shard."""
+    n_total = db_i8.shape[0]
+    n_real = n_real if n_real is not None else n_total
+
+    def body(q, d8, scale):
+        n_local = d8.shape[0]
+        k_local = min(k, n_local)
+        vals, idx = mips_topk_int8(q, d8, scale, k_local, oversample=oversample)
+        shard = jax.lax.axis_index(axis_name)
+        gidx = idx + (shard * n_local).astype(jnp.int32)
+        vals, gidx = _pad_candidates(vals, gidx, k)
+        return _merge_candidates(vals, gidx, k, axis_name, n_real)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name, None), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, db_i8, db_scale)

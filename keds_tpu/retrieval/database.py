@@ -27,6 +27,7 @@ from keds_tpu.ops.topk import (
     mips_topk,
     mips_topk_fused,
     mips_topk_int8,
+    mips_topk_int8_sharded,
     mips_topk_sharded,
     quantize_int8,
 )
@@ -155,12 +156,17 @@ class Retriever:
             raise ValueError("sharded retrieval requires a mesh")
         self._int8: dict = {}
         if backend == "int8":
-            if sharded:
-                raise ValueError("int8 retrieval is not yet sharded")
             # Quantize both modalities once; scoring runs on the int8 MXU
-            # with exact f32 rescoring of the oversampled candidates.
+            # with exact f32 rescoring of the oversampled candidates.  When
+            # sharded, quantized values/scales follow the DB's row sharding.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             for name, arr in (("image", db.image_db), ("text", db.text_db)):
-                self._int8[name] = quantize_int8(arr)
+                q8, scale = quantize_int8(arr)
+                if sharded:
+                    q8 = jax.device_put(q8, NamedSharding(mesh, P(axis_name, None)))
+                    scale = jax.device_put(scale, NamedSharding(mesh, P(axis_name)))
+                self._int8[name] = (q8, scale)
 
     # -- low-level search ---------------------------------------------------
     def search(self, queries: jax.Array, db_array: jax.Array, k: int):
@@ -171,15 +177,21 @@ class Retriever:
                 interpret = jax.default_backend() == "cpu"
             except Exception:  # pragma: no cover
                 pass
-        if self.sharded:
-            return mips_topk_sharded(
-                queries, db_array, k, self.mesh, self.axis_name,
-                backend=self.backend, interpret=interpret,
-            )
+        n_real = len(self.db.names)  # sharding pads rows; names hold the truth
         if self.backend == "int8":
             modality = "image" if db_array is self.db.image_db else "text"
             q8, scale = self._int8[modality]
+            if self.sharded:
+                return mips_topk_int8_sharded(
+                    queries.astype(jnp.float32), q8, scale, k,
+                    self.mesh, self.axis_name, n_real=n_real,
+                )
             return mips_topk_int8(queries.astype(jnp.float32), q8, scale, k)
+        if self.sharded:
+            return mips_topk_sharded(
+                queries, db_array, k, self.mesh, self.axis_name,
+                backend=self.backend, interpret=interpret, n_real=n_real,
+            )
         if self.backend == "pallas":
             return mips_topk_fused(queries, db_array, k, interpret=interpret)
         return mips_topk(queries, db_array, k)

@@ -72,3 +72,43 @@ def test_int8_retriever_backend():
     close = np.mean(np.abs(np.asarray(ti8) - np.asarray(tix)) < 1e-3)
     assert ti8.shape == tix.shape
     assert close > 0.7
+
+
+def test_int8_sharded_matches_unsharded():
+    import jax.numpy as jnp
+
+    from keds_tpu.parallel.mesh import make_mesh
+    from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+
+    mesh = make_mesh()
+    img, txt = _db(1003), _db(1003, seed=9)  # non-divisible by 8
+    rng = np.random.default_rng(4)
+    q = rng.standard_normal((5, 64)).astype(np.float32)
+    kdb = KnowledgeDB.from_arrays(img, txt, dtype=jnp.float32)
+    r_plain = Retriever(kdb, backend="int8")
+    kdb_s = KnowledgeDB.from_arrays(img, txt, dtype=jnp.float32).shard_over(mesh)
+    r_shard = Retriever(kdb_s, backend="int8", mesh=mesh, sharded=True)
+    a, at = r_plain.retrieve_features(jnp.asarray(q), k=8, rng=None)
+    b, bt = r_shard.retrieve_features(jnp.asarray(q), k=8, rng=None)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(at), np.asarray(bt), atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_pad_rows_cannot_win():
+    """Adversarial case: a query anti-aligned with every DB row gives all
+    negative scores; zero pad rows must not leak into the top-k."""
+    import jax.numpy as jnp
+
+    from keds_tpu.ops.topk import mips_topk_sharded
+    from keds_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(5)
+    base = -np.abs(rng.standard_normal((9, 16)).astype(np.float32))  # all-negative rows
+    q = np.ones((1, 16), np.float32)  # scores all negative
+    pad = 16 - 9  # pad up to 2 rows/shard on 8 devices
+    db = np.concatenate([base, np.zeros((pad, 16), np.float32)])
+    vals, idx = mips_topk_sharded(jnp.asarray(q), jnp.asarray(db), 4, mesh,
+                                  n_real=9)
+    assert (np.asarray(idx) < 9).all()
+    assert (np.asarray(vals) < 0).all()
