@@ -46,6 +46,7 @@ class Config:
     train_num_samples: Optional[int] = None
     dataset_resampled: bool = False
     caption_map: Optional[str] = None  # {key: caption} json/pkl for tar streaming
+    train_data_upsampling_factors: Optional[str] = None
     workers: int = 1
     # retrieval / demo
     prompts: Optional[str] = None
@@ -148,6 +149,7 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
     add("--train-num-samples", type=int, default=None)
     add("--dataset-resampled", action="store_true", default=False)
     add("--caption-map", type=str, default=None)
+    add("--train-data-upsampling-factors", type=str, default=None)
     add("--workers", type=int, default=1)
     add("--prompts", type=str, default=None)
     add("--retrieval-data", type=str, default=None)
