@@ -132,3 +132,30 @@ def test_parity_encode_ids(reference_src, reference_tokenize):
         if not text:
             continue
         assert bpe.encode(text) == ref_bpe.encode(text), text
+
+
+def test_parity_unicode_fuzz(reference_src):
+    """Random multi-script strings (NFC-normalized, as real ftfy would
+    produce) must tokenize identically to the reference BPE."""
+    import random
+    import sys
+    import unicodedata
+
+    sys.path.insert(0, str(reference_src))
+    try:
+        from third_party.open_clip.simple_tokenizer import SimpleTokenizer
+    finally:
+        sys.path.pop(0)
+    ref = SimpleTokenizer()
+    bpe = tk.get_tokenizer()
+    rng = random.Random(7)
+    pools = [
+        "àâçéèêëîïôùûüÿñ", "αβγδεζηθικλμν", "абвгдежзик",
+        "日本語テキスト漢字", "한국어텍스트", "emoji 😀🎉🚀",
+        "abcdefghijklmnopqrstuvwxyz0123456789 .,!?'",
+    ]
+    for _ in range(150):
+        n = rng.randint(1, 60)
+        s = "".join(rng.choice(rng.choice(pools)) for _ in range(n))
+        s = unicodedata.normalize("NFC", s)
+        assert bpe.encode(s) == ref.encode(s), repr(s)
