@@ -200,3 +200,33 @@ def test_checkpoint_loadable_by_reference_modules(tmp_path, tiny_setup, referenc
         transformer_width=D, transformer_heads=1, transformer_layers=2,
     )
     clip.load_state_dict({k: torch.as_tensor(np.asarray(v)) for k, v in ckpt["state_dict"].items()})
+
+
+def test_training_reduces_loss_substantially(tiny_setup):
+    """30 steps on correlated synthetic data must cut the image-stream loss
+    well below its initial value (the heads learn to align composed text
+    features with image features)."""
+    cfg, clip_params, heads, db = tiny_setup
+    retr = Retriever(db)
+    ccfg = Config(lr=3e-3, beta1=0.9, beta2=0.98, eps=1e-6, wd=0.0, warmup=3)
+    opt, _ = make_optimizer(ccfg, total_steps=40)
+    opt_state = opt.init(heads)
+    step = make_train_step(
+        clip_params, cfg, retr, opt, stream="image", prompt_tokens=_prompt(),
+        split_id=SPLIT_ID, compute_dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((16, D)).astype(np.float32)
+    batch = losses.TrainBatch(
+        image_features=jnp.asarray(base),
+        caption_features=jnp.asarray(base + 0.1 * rng.standard_normal((16, D)).astype(np.float32)),
+        other_tokens=jnp.zeros((16, 77), jnp.int32),
+    )
+    h, s = heads, opt_state
+    first = None
+    for i in range(30):
+        h, s, loss = step(h, s, batch, jax.random.key(i))
+        if i == 0:
+            first = float(loss)
+    last = float(loss)
+    assert last < 0.7 * first, (first, last)
