@@ -37,6 +37,10 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-pt", action="store_true",
                    help="skip the torch-format artifacts")
+    p.add_argument("--int8", action="store_true",
+                   help="also write pre-quantized int8 artifacts "
+                        "({image,text}_db_int8.npy + *_scale.npy) for "
+                        "--retrieval-backend int8 at very large DB sizes")
     args = p.parse_args(argv)
     setup_logging()
 
@@ -66,6 +70,14 @@ def main(argv=None) -> None:
 
         save_pt(img_s, os.path.join(args.out, "cc_image_databases.pt"))
         save_pt(txt_s, os.path.join(args.out, "cc_text_databases.pt"))
+    if args.int8:
+        for name, arr in (("image", img_s), ("text", txt_s)):
+            scale = np.abs(arr).max(axis=1) / 127.0
+            q = np.round(arr / np.maximum(scale, 1e-12)[:, None]).astype(np.int8)
+            np.save(os.path.join(args.out, f"{name}_db_int8.npy"), q)
+            np.save(os.path.join(args.out, f"{name}_db_scale.npy"),
+                    scale.astype(np.float32))
+        logging.info("wrote int8 artifacts")
     logging.info("wrote knowledge DB (%d x %d) to %s", size, img_s.shape[1], args.out)
 
 

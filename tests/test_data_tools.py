@@ -163,3 +163,29 @@ def test_loader_world_sharding():
         for batch in dl:
             seen.extend(batch.ravel().tolist())
     assert sorted(seen) == data
+
+
+def test_build_database_int8_artifacts(tmp_path):
+    pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from keds_tpu.ops.topk import quantize_int8
+    from keds_tpu.tools.build_database import main as build_main
+
+    rng = np.random.default_rng(1)
+    feat = tmp_path / "feat"
+    feat.mkdir()
+    n, d = 40, 16
+    np.save(feat / "image_features.npy", rng.standard_normal((n, d)).astype(np.float32))
+    np.save(feat / "text_features.npy", rng.standard_normal((n, d)).astype(np.float32))
+    (feat / "names.json").write_text(json.dumps([f"n{i}" for i in range(n)]))
+    out = tmp_path / "db8"
+    build_main(["--features", str(feat), "--out", str(out), "--size", "40",
+                "--no-pt", "--int8"])
+    q = np.load(out / "image_db_int8.npy")
+    s = np.load(out / "image_db_scale.npy")
+    assert q.dtype == np.int8 and s.dtype == np.float32
+    # matches the runtime quantizer
+    ref_q, ref_s = quantize_int8(jnp.asarray(np.load(out / "image_db.npy")))
+    np.testing.assert_array_equal(q, np.asarray(ref_q))
+    np.testing.assert_allclose(s, np.asarray(ref_s), rtol=1e-6)
