@@ -64,7 +64,8 @@ def main(argv=None) -> None:
     dtype = compute_dtype(cfg)
 
     clip_source = cfg.resume or cfg.clip_weights or cfg.model
-    clip_params, ccfg, _, t_val = load_clip(clip_source)
+    clip_params, ccfg, _, t_val = load_clip(
+        clip_source, normalize_on_host=not cfg.device_preprocess)
     cast = lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a  # noqa: E731
     clip_c = jax.tree.map(cast, clip_params)
 
@@ -80,7 +81,13 @@ def main(argv=None) -> None:
         elif sd:
             img2text = convert.im2text_state_dict_to_pytree(sd)
 
-    encode_image = jax.jit(lambda im: mclip.encode_image(clip_c, ccfg, im))
+    from keds_tpu.transforms import device_normalize
+
+    # CLIP params are jit arguments, not closures (closure constants inline
+    # into the HLO; remote-compile backends reject the result — rule 3).
+    _enc = jax.jit(
+        lambda cp, im: mclip.encode_image(cp, ccfg, device_normalize(im)))
+    encode_image = lambda im: _enc(clip_c, im)  # noqa: E731
 
     # ---- retrieval corpus --------------------------------------------------
     root = cfg.root_data

@@ -41,7 +41,8 @@ def main(argv=None) -> None:
 
     clip_source = cfg.resume or cfg.clip_weights or cfg.model
     clip_params, clip_cfg, _, t_val = load_clip(
-        clip_source, target_pad=1.25 if cfg.target_pad else None
+        clip_source, target_pad=1.25 if cfg.target_pad else None,
+        normalize_on_host=not cfg.device_preprocess,
     )
     retriever = load_database(cfg, mesh)
     ctx = EvalContext(
@@ -50,6 +51,7 @@ def main(argv=None) -> None:
         batch_size=cfg.batch_size, db_topk=cfg.db_topk,
         compute_dtype=compute_dtype(cfg),
         mesh=mesh if mesh.devices.size > 1 else None,
+        quant_towers=cfg.quant_towers,
     )
     root = cfg.root_data
     mk_loader = lambda ds: DataLoader(ds, cfg.batch_size, num_workers=cfg.workers)  # noqa: E731
@@ -76,7 +78,9 @@ def main(argv=None) -> None:
         evaluate_fashion(ctx, mk_loader(src), mk_loader(tgt))
     elif cfg.eval_mode == "coco":
         src = CsvCOCO(transforms=t_val,
-                      transforms_region=region_transform(clip_cfg.image_resolution),
+                      transforms_region=region_transform(
+                          clip_cfg.image_resolution,
+                          normalize=not cfg.device_preprocess),
                       root=root)
         evaluate_coco(ctx, mk_loader(src))
     elif cfg.eval_mode == "imgnet":

@@ -65,6 +65,9 @@ class Config:
     db_topk: int = 16
     db_shard: bool = False  # shard DB rows over the mesh instead of replicating
     retrieval_backend: str = "auto"  # auto | xla | pallas
+    # TPU-native extensions (no reference counterpart)
+    quant_towers: str = "none"  # none | int8: W8A8 tower GEMMs (inference)
+    device_preprocess: bool = True  # ship uint8, normalize on device
     # model
     model: str = "ViT-L/14"
     middle_dim: int = 512
@@ -168,6 +171,14 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
     add("--db-shard", action="store_true", default=False)
     add("--retrieval-backend", type=str, default="auto",
         choices=["auto", "xla", "pallas", "int8"])
+    add("--quant-towers", type=str, default="none", choices=["none", "int8"],
+        help="int8: W8A8-quantize the CLIP tower GEMMs for inference "
+             "(4x smaller weights; see BENCH_NOTES.md for v5e speed findings)")
+    add("--no-device-preprocess", dest="device_preprocess",
+        action="store_false", default=True,
+        help="disable uint8 transfer + on-device normalization (ship f32 "
+             "host-normalized images instead, bit-exact with the reference "
+             "PIL pipeline)")
     add("--model", type=str, default="ViT-L/14", choices=MODEL_CHOICES)
     add("--middle_dim", type=int, default=512)
     add("--droprate", type=float, default=0.1)

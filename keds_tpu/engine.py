@@ -38,27 +38,34 @@ class ComposedQueryEngine:
         retriever: Optional[Retriever] = None,
         db_topk: int = 16,
         compute_dtype=jnp.bfloat16,
+        quant_towers: str = "none",
     ):
         cast = lambda a: jnp.asarray(a, compute_dtype) if jnp.issubdtype(  # noqa: E731
             np.asarray(a).dtype, np.floating) else jnp.asarray(a)
         self.cfg = cfg
         self.clip_c = jax.tree.map(cast, clip_params)
+        if quant_towers == "int8":
+            from keds_tpu.ops.quant import quantize_clip_blocks
+
+            self.clip_c = quantize_clip_blocks(self.clip_c)
         self.heads = jax.tree.map(cast, heads)
         self.db = db
         self.retriever = retriever or Retriever(db)
         self.db_topk = db_topk
         split_id = star_token_id()
 
+        from keds_tpu.transforms import device_normalize
+
         @jax.jit
         def _encode(cp, images):
-            f = mclip.encode_image(cp, cfg, images)
+            f = mclip.encode_image(cp, cfg, device_normalize(images))
             return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
         retr = self.retriever
 
         @jax.jit
         def _composed(cp, heads, db_img, db_txt, images, text):
-            f = mclip.encode_image(cp, cfg, images)
+            f = mclip.encode_image(cp, cfg, device_normalize(images))
             ti, tt = retr.retrieve_features(
                 f.astype(jnp.float32), k=db_topk, db_arrays=(db_img, db_txt)
             )

@@ -91,17 +91,28 @@ class EvalContext:
     # and query encoding scale across chips (BASELINE config 4).  Batches are
     # padded to the axis size.
     mesh: object = None
+    # "int8": W8A8-quantize the tower GEMMs (keds_tpu/ops/quant.py) — 4x
+    # smaller tower weights; measured accuracy/speed trade in BENCH_NOTES.md.
+    quant_towers: str = "none"
     _jit_cache: dict = field(default_factory=dict)
 
     def __post_init__(self):
+        from keds_tpu.transforms import device_normalize
+
         cast = lambda a: jnp.asarray(a, self.compute_dtype) if jnp.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a)  # noqa: E731
         self.clip_c = jax.tree.map(cast, self.clip_params)
+        if self.quant_towers == "int8":
+            from keds_tpu.ops.quant import quantize_clip_blocks
+
+            self.clip_c = quantize_clip_blocks(self.clip_c)
         self.split_id = star_token_id()
         # CLIP params are jit arguments, not closures (closure constants are
         # inlined into the HLO; remote-compile backends reject the result).
+        # uint8 batches (the device-preprocess wire format) are normalized
+        # in-graph; float batches trace to the identical pre-u8 program.
         cfg = self.cfg
         self._encode_image = jax.jit(
-            lambda cp, imgs: mclip.encode_image(cp, cfg, imgs)
+            lambda cp, imgs: mclip.encode_image(cp, cfg, device_normalize(imgs))
         )
         self._encode_text = jax.jit(
             lambda cp, text: mclip.encode_text(cp, cfg, text)

@@ -40,6 +40,21 @@ def flash_enabled() -> bool:
     return False
 
 
+def linear(x: jax.Array, w, b=None) -> jax.Array:
+    """Dense layer dispatching on the weight representation: a plain array
+    runs the bf16/f32 GEMM; a ``{"q": int8, "s": f32}`` dict (produced by
+    :func:`keds_tpu.ops.quant.quantize_weight`) runs the W8A8 dynamic int8
+    MXU path."""
+    if isinstance(w, dict):
+        from keds_tpu.ops.quant import int8_linear
+
+        return int8_linear(x, w, b)
+    y = jnp.dot(x, w.astype(x.dtype))
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Float32-island LayerNorm: normalize in f32, return in x.dtype."""
     orig_dtype = x.dtype
@@ -78,7 +93,7 @@ def multi_head_attention(
     B, S, D = x.shape
     H = n_heads
     Dh = D // H
-    qkv = jnp.dot(x, qkv_w.astype(x.dtype)) + qkv_b.astype(x.dtype)
+    qkv = linear(x, qkv_w, qkv_b)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     # Keep the (B, S, H, Dh) layout end to end: explicit head transposes
     # materialize full-activation copies ("data formatting" dominated the
@@ -104,7 +119,7 @@ def multi_head_attention(
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     ctx = ctx.reshape(B, S, D)
-    return jnp.dot(ctx, out_w.astype(x.dtype)) + out_b.astype(x.dtype)
+    return linear(ctx, out_w, out_b)
 
 
 def residual_block(x: jax.Array, blk: dict, n_heads: int,
@@ -116,8 +131,8 @@ def residual_block(x: jax.Array, blk: dict, n_heads: int,
         causal,
     )
     h = layer_norm(x, blk["ln2_g"], blk["ln2_b"])
-    h = quick_gelu(jnp.dot(h, blk["fc_w"].astype(x.dtype)) + blk["fc_b"].astype(x.dtype))
-    x = x + jnp.dot(h, blk["proj_w"].astype(x.dtype)) + blk["proj_b"].astype(x.dtype)
+    h = quick_gelu(linear(h, blk["fc_w"], blk["fc_b"]))
+    x = x + linear(h, blk["proj_w"], blk["proj_b"])
     return x
 
 

@@ -88,11 +88,17 @@ def resolve_clip_weights(name_or_path: str,
 
 
 def load_clip(name_or_path: str, download_root: Optional[str] = None,
-              target_pad: Optional[float] = None) -> Tuple[dict, ClipConfig, object, object]:
+              target_pad: Optional[float] = None,
+              normalize_on_host: bool = True) -> Tuple[dict, ClipConfig, object, object]:
+    """``normalize_on_host=False`` builds uint8-output transforms for the
+    device-preprocess path (host: decode+resize+crop only; /255 + CLIP
+    normalization run in-graph, 4x less host->device traffic)."""
     path = resolve_clip_weights(name_or_path, download_root)
     sd = _state_dict_from_file(path)
     params, cfg = convert.clip_state_dict_to_pytree(sd)
-    t_train = image_transform(cfg.image_resolution, is_train=True, target_pad=target_pad)
-    t_val = image_transform(cfg.image_resolution, is_train=False, target_pad=target_pad)
+    t_train = image_transform(cfg.image_resolution, is_train=True,
+                              target_pad=target_pad, normalize=normalize_on_host)
+    t_val = image_transform(cfg.image_resolution, is_train=False,
+                            target_pad=target_pad, normalize=normalize_on_host)
     logging.info("loaded CLIP %s from %s", cfg, path)
     return params, cfg, t_train, t_val

@@ -48,10 +48,15 @@ def main(argv=None) -> None:
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--dtype", choices=["float32", "float16"], default="float32")
+    p.add_argument("--no-device-preprocess", dest="device_preprocess",
+                   action="store_false", default=True,
+                   help="normalize on host (f32 transfer) instead of shipping "
+                        "uint8 and normalizing in-graph")
     args = p.parse_args(argv)
     setup_logging()
 
-    clip_params, cfg, _, t_val = load_clip(args.clip_weights)
+    clip_params, cfg, _, t_val = load_clip(
+        args.clip_weights, normalize_on_host=not args.device_preprocess)
     cast = lambda a: a.astype(jnp.bfloat16) if jnp.issubdtype(a.dtype, jnp.floating) else a  # noqa: E731
     clip_c = jax.tree.map(lambda a: cast(jnp.asarray(a)), clip_params)
 
@@ -68,7 +73,10 @@ def main(argv=None) -> None:
     dataset = CustomFolder(args.images, transform=t_val)
     loader = DataLoader(dataset, args.batch_size, num_workers=args.workers)
 
-    enc_img = jax.jit(lambda cp, im: mclip.encode_image(cp, cfg, im))
+    from keds_tpu.transforms import device_normalize
+
+    enc_img = jax.jit(
+        lambda cp, im: mclip.encode_image(cp, cfg, device_normalize(im)))
     enc_txt = jax.jit(lambda cp, tt: mclip.encode_text(cp, cfg, tt))
 
     os.makedirs(args.out, exist_ok=True)
@@ -86,7 +94,10 @@ def main(argv=None) -> None:
     for images, paths in loader:
         basenames = [os.path.basename(p).split(".")[0] for p in paths]
         caps = [str(cap_map.get(b, "")) for b in basenames]
-        img_f = enc_img(clip_c, jnp.asarray(images, jnp.bfloat16))
+        images = np.asarray(images)
+        if images.dtype != np.uint8:  # host-normalized parity path
+            images = images.astype(jnp.bfloat16)
+        img_f = enc_img(clip_c, jnp.asarray(images))
         txt_f = enc_txt(clip_c, jnp.asarray(tokenize(caps)))
         b = len(basenames)
         img_mm[row:row + b] = np.asarray(img_f.astype(jnp.float32), out_dtype)

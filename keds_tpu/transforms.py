@@ -40,6 +40,13 @@ def _to_array(img) -> np.ndarray:
     return (arr - CLIP_MEAN) / CLIP_STD
 
 
+def _to_u8(img) -> np.ndarray:
+    """RGB uint8 HWC — the wire format of the device-preprocess path (4x
+    less tunnel/PCIe traffic than f32; normalization happens in-graph via
+    :func:`device_normalize`)."""
+    return np.asarray(img.convert("RGB"), np.uint8)
+
+
 def _resize_shorter(img, n_px: int):
     w, h = img.size
     if w <= h:
@@ -100,10 +107,13 @@ def _random_resized_crop(img, n_px: int, scale=(0.9, 1.0),
 
 def image_transform(n_px: int, is_train: bool = False,
                     target_pad: Optional[float] = None,
-                    rng: Optional[random.Random] = None) -> Callable:
-    """PIL image -> normalized float32 HWC array."""
+                    rng: Optional[random.Random] = None,
+                    normalize: bool = True) -> Callable:
+    """PIL image -> normalized float32 HWC array, or (``normalize=False``)
+    resized/cropped uint8 HWC for the device-preprocess path."""
 
     pad = TargetPad(target_pad) if target_pad else None
+    finish = _to_array if normalize else _to_u8
 
     def fn(img):
         if pad is not None:
@@ -113,19 +123,34 @@ def image_transform(n_px: int, is_train: bool = False,
         else:
             img = _resize_shorter(img, n_px)
             img = _center_crop(img, n_px)
-        return _to_array(img)
+        return finish(img)
 
     return fn
 
 
-def region_transform(n_px: int) -> Callable:
+def region_transform(n_px: int, normalize: bool = True) -> Callable:
     """COCO region-query transform: resize to (n_px, n_px) directly, no crop
     (reference src/eval_retrieval.py:311-314)."""
 
+    finish = _to_array if normalize else _to_u8
+
     def fn(img):
-        return _to_array(img.resize((n_px, n_px), _BICUBIC))
+        return finish(img.resize((n_px, n_px), _BICUBIC))
 
     return fn
+
+
+def device_normalize(images):
+    """In-graph tail of the preprocessing pipeline: uint8 HWC batches are
+    scaled to [0,1] and CLIP-normalized in f32 on device; float inputs (the
+    host-normalized parity path) pass through unchanged.  Trace-time dtype
+    dispatch keeps the float program identical to the pre-u8 pipeline."""
+    import jax.numpy as jnp
+
+    if images.dtype == jnp.uint8:
+        x = images.astype(jnp.float32) / 255.0
+        return (x - CLIP_MEAN) / CLIP_STD
+    return images
 
 
 def device_preprocess(images_u8, n_px: int = 224):

@@ -70,3 +70,29 @@ def test_device_preprocess_matches_host_for_uniform_image():
     dev = np.asarray(device_preprocess(arr, n_px=32))
     host = image_transform(32, is_train=False)(Image.fromarray(arr[0]))
     np.testing.assert_allclose(dev[0], host, atol=1e-2)
+
+
+def test_u8_transform_matches_host_normalize():
+    """normalize=False + device_normalize == the host-normalized f32 path."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from keds_tpu.transforms import device_normalize, image_transform
+
+    rng = np.random.default_rng(7)
+    img = Image.fromarray(rng.integers(0, 256, (100, 160, 3), np.uint8))
+    f32 = image_transform(32, is_train=False)(img)
+    u8 = image_transform(32, is_train=False, normalize=False)(img)
+    assert u8.dtype == np.uint8 and u8.shape == (32, 32, 3)
+    dev = np.asarray(device_normalize(jnp.asarray(u8[None])))[0]
+    np.testing.assert_allclose(dev, f32, atol=1e-6)
+
+
+def test_device_normalize_float_passthrough():
+    import jax.numpy as jnp
+
+    from keds_tpu.transforms import device_normalize
+
+    x = jnp.ones((2, 4, 4, 3), jnp.float32) * 0.25
+    out = device_normalize(x)
+    assert out is x
