@@ -90,6 +90,14 @@ def main() -> None:
     p.add_argument("--train", action="store_true",
                    help="measure the training step instead (image stream, "
                         "precomputed features, reference recipe batch)")
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="W8A8-quantize the tower GEMMs (BENCH_NOTES: ~parity "
+                        "speed on v5e via XLA — int8 is not double-rate on "
+                        "this stack; 4x smaller tower weights)")
+    p.add_argument("--u8", action="store_true",
+                   help="feed uint8 images + in-graph normalization (the "
+                        "device-preprocess wire format; 2x less transfer "
+                        "than bf16, 4x less than f32)")
     args = p.parse_args()
     if args.train:
         bench_train(args)
@@ -106,23 +114,36 @@ def main() -> None:
     from keds_tpu.models.composition import compose_pseudo_tokens
     from keds_tpu.ops.topk import mips_topk, mips_topk_fused
     from keds_tpu.retrieval.database import Retriever
+    from keds_tpu.transforms import device_normalize
     import __graft_entry__ as ge
 
     quick = args.quick
-    # Batch 32 maximizes per-chip throughput on the measured hardware (this
-    # v5e subslice runs ViT-L at ~65 TFLOPS for B=32 but only ~30 TFLOPS at
-    # B>=128 — inverse batch scaling measured across idle runs).
+    # Round-2 finding (BENCH_NOTES): encode throughput is essentially flat in
+    # batch (631/614/586 img/s at b32/b64/b128 on clean idle-host runs; the
+    # round-1 "inverse scaling" was a corrupted measurement).  b32 stays the
+    # default: best throughput AND 4x less latency per batch.
     batch = args.batch or 32
     db_rows = args.db_rows or (50_000 if quick else 500_000)
     iters = args.iters or (5 if quick else 15)
     dtype = jnp.bfloat16
     cfg = mclip.VIT_L_14
 
-    log(f"bench: devices={jax.devices()} batch={batch} db_rows={db_rows} iters={iters}")
+    log(f"bench: devices={jax.devices()} batch={batch} db_rows={db_rows} iters={iters}"
+        f" quant={args.quant} u8={args.u8}")
     clip_params, heads, db = ge._build(cfg, db_rows=db_rows, dtype=dtype)
+    if args.quant == "int8":
+        from keds_tpu.ops.quant import quantize_clip_blocks
+
+        clip_params = quantize_clip_blocks(clip_params)
     retriever = Retriever(db, backend="xla")
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), dtype)
+
+    def make_images(r):
+        if args.u8:
+            return jnp.asarray(r.integers(0, 256, (batch, 224, 224, 3)), jnp.uint8)
+        return jnp.asarray(r.standard_normal((batch, 224, 224, 3)), dtype)
+
+    images = make_images(rng)
     text = np.zeros((batch, 77), np.int32)
     text[:, :8] = [49406, 320, 1125, 539, 265, 267, 1929, 49407]
     text = jnp.asarray(text)
@@ -135,12 +156,9 @@ def main() -> None:
     if args.stages:
         @jax.jit
         def enc_tp(cp, im):
-            return jnp.sum(mclip.encode_image(cp, cfg, im))
+            return jnp.sum(mclip.encode_image(cp, cfg, device_normalize(im)))
 
-        enc_inputs = [
-            jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), dtype)
-            for _ in range(iters)
-        ]
+        enc_inputs = [make_images(rng) for _ in range(iters)]
         t_enc = timeit_pipelined(lambda im: enc_tp(clip_params, im), enc_inputs)
         log(f"stage encode_image (DB-encode rate): {t_enc*1e3:.2f} ms/batch "
             f"({batch/t_enc:.0f} img/s)")
@@ -164,7 +182,7 @@ def main() -> None:
 
     # --- headline: full composed-query pipeline ---------------------------
     def composed(clip_params, heads, db_img, db_txt, images, text):
-        f = mclip.encode_image(clip_params, cfg, images)
+        f = mclip.encode_image(clip_params, cfg, device_normalize(images))
         ti, tt = retriever.retrieve_features(
             f.astype(jnp.float32), k=16, db_arrays=(db_img, db_txt)
         )
@@ -189,10 +207,7 @@ def main() -> None:
     )
     log(f"composed query latency (chained): {t_lat*1e3:.2f} ms/batch")
 
-    batch_inputs = [
-        jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), dtype)
-        for _ in range(iters)
-    ]
+    batch_inputs = [make_images(rng) for _ in range(iters)]
     t = timeit_pipelined(
         lambda im: composed_tp_step(clip_params, heads, db.image_db,
                                     db.text_db, im, text),

@@ -117,7 +117,8 @@ def main(argv=None) -> None:
         corpus, filenames = jnp.asarray(data["feats"]), data["path"]
     else:
         feats, filenames = [], []
-        for images, names in DataLoader(dataset, cfg.batch_size, num_workers=cfg.workers):
+        for images, names in DataLoader(dataset, cfg.batch_size, num_workers=cfg.workers,
+                                        worker_processes=cfg.worker_processes):
             f = encode_image(jnp.asarray(images))
             f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
             feats.append(np.asarray(f.astype(jnp.float32)))

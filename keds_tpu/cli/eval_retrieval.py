@@ -54,7 +54,8 @@ def main(argv=None) -> None:
         quant_towers=cfg.quant_towers,
     )
     root = cfg.root_data
-    mk_loader = lambda ds: DataLoader(ds, cfg.batch_size, num_workers=cfg.workers)  # noqa: E731
+    mk_loader = lambda ds: DataLoader(ds, cfg.batch_size, num_workers=cfg.workers,
+                                      worker_processes=cfg.worker_processes)  # noqa: E731
 
     if cfg.eval_mode == "cirr":
         src = CIRR(transforms=t_val, root=root)

@@ -129,6 +129,7 @@ def main(argv=None) -> None:
             dataset, cfg.batch_size * mesh.devices.size, shuffle=True, seed=cfg.seed,
             drop_last=True, num_workers=cfg.workers,
             rank=jax.process_index(), world_size=jax.process_count(),
+            worker_processes=cfg.worker_processes,
         )
     steps_per_epoch = loader.num_batches
     total_steps = steps_per_epoch * cfg.epochs

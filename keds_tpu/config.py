@@ -68,6 +68,7 @@ class Config:
     # TPU-native extensions (no reference counterpart)
     quant_towers: str = "none"  # none | int8: W8A8 tower GEMMs (inference)
     device_preprocess: bool = True  # ship uint8, normalize on device
+    worker_processes: bool = False  # decode in worker processes, not threads
     # model
     model: str = "ViT-L/14"
     middle_dim: int = 512
@@ -179,6 +180,10 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
         help="disable uint8 transfer + on-device normalization (ship f32 "
              "host-normalized images instead, bit-exact with the reference "
              "PIL pipeline)")
+    add("--worker-processes", action="store_true", default=False,
+        help="run --workers as spawned processes instead of threads "
+             "(the reference's worker-process decode, src/data.py:839-863; "
+             "use on many-core hosts where transforms serialize on the GIL)")
     add("--model", type=str, default="ViT-L/14", choices=MODEL_CHOICES)
     add("--middle_dim", type=int, default=512)
     add("--droprate", type=float, default=0.1)

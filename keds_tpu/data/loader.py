@@ -1,21 +1,38 @@
-"""Minimal multi-threaded batching loader (torch-free).
+"""Minimal batching loader (torch-free), threaded or process-backed.
 
-The reference uses torch ``DataLoader`` with worker subprocesses; on TPU
-hosts the input work here is light (precomputed features, or PIL decode for
-eval corpora), so a thread-pool map + one prefetch thread keeps the device
-fed without torch.  Numpy leaves are stacked; everything else is collected
-into lists.  ``None`` samples are dropped (the reference's fault-tolerant
+The reference uses torch ``DataLoader`` with worker subprocesses
+(``src/data.py:839-863``, 6 per GPU).  Default here is a thread-pool map +
+one prefetch thread: PIL's libjpeg decode releases the GIL, and threads
+avoid process startup/IPC.  For many-core TPU hosts where Python-side
+transform work would serialize on the GIL, ``worker_processes=True`` runs
+the same pool as spawned worker processes (datasets and transforms are
+picklable).  Numpy leaves are stacked; everything else is collected into
+lists.  ``None`` samples are dropped (the reference's fault-tolerant
 ``collate_fn``, src/data.py:124-131).
 """
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Any, Iterator, Optional, Sequence
 
 import numpy as np
+
+# Worker-process state: the dataset ships once per worker via the pool
+# initializer (spawn context — fork is unsafe under a live JAX runtime).
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_getitem(i: int):
+    return _WORKER_DATASET[int(i)]
 
 
 def default_collate(samples: Sequence[Any]):
@@ -49,6 +66,7 @@ class DataLoader:
         rank: int = 0,
         world_size: int = 1,
         collate=default_collate,
+        worker_processes: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,6 +74,8 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.worker_processes = worker_processes
+        self._proc_pool: Optional[ProcessPoolExecutor] = None
         self.prefetch = max(prefetch, 1)
         self.rank = rank
         self.world_size = world_size
@@ -94,8 +114,27 @@ class DataLoader:
     def __len__(self) -> int:
         return self.num_batches
 
-    def _fetch(self, pool: Optional[ThreadPoolExecutor], batch_idx) -> Any:
-        if pool is not None:
+    def _make_pool(self):
+        if self.num_workers <= 0:
+            return None
+        if self.worker_processes:
+            # One persistent pool per loader: spawned workers re-import only
+            # light modules (datasets/transforms are jax-free) and hold the
+            # dataset from the initializer.
+            if self._proc_pool is None:
+                self._proc_pool = ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=multiprocessing.get_context("spawn"),
+                    initializer=_worker_init,
+                    initargs=(self.dataset,),
+                )
+            return self._proc_pool
+        return ThreadPoolExecutor(self.num_workers)
+
+    def _fetch(self, pool, batch_idx) -> Any:
+        if isinstance(pool, ProcessPoolExecutor):
+            samples = list(pool.map(_worker_getitem, [int(i) for i in batch_idx]))
+        elif pool is not None:
             samples = list(pool.map(self.dataset.__getitem__, batch_idx))
         else:
             samples = [self.dataset[int(i)] for i in batch_idx]
@@ -105,7 +144,7 @@ class DataLoader:
         idx = self._indices()
         nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
         batches = [idx[i * self.batch_size:(i + 1) * self.batch_size] for i in range(nb)]
-        pool = ThreadPoolExecutor(self.num_workers) if self.num_workers > 0 else None
+        pool = self._make_pool()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
@@ -126,5 +165,18 @@ class DataLoader:
                 if item is not None:
                     yield item
         finally:
-            if pool is not None:
+            # thread pools are per-iteration; the process pool persists so
+            # repeated epochs don't respawn workers
+            if pool is not None and not isinstance(pool, ProcessPoolExecutor):
                 pool.shutdown(wait=False)
+
+    def close(self) -> None:
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=False)
+            self._proc_pool = None
+
+    def __del__(self):  # pragma: no cover - interpreter shutdown ordering
+        try:
+            self.close()
+        except Exception:
+            pass

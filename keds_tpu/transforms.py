@@ -105,39 +105,52 @@ def _random_resized_crop(img, n_px: int, scale=(0.9, 1.0),
     return _center_crop(img, n_px)
 
 
+class _ImageTransform:
+    """Picklable PIL-image transform (process-pool decode workers need to
+    ship the dataset — and its transform — to worker processes)."""
+
+    def __init__(self, n_px: int, is_train: bool, target_pad: Optional[float],
+                 rng: Optional[random.Random], normalize: bool):
+        self.n_px = n_px
+        self.is_train = is_train
+        self.pad = TargetPad(target_pad) if target_pad else None
+        self.rng = rng
+        self.normalize = normalize
+
+    def __call__(self, img):
+        if self.pad is not None:
+            img = self.pad(img)
+        if self.is_train:
+            img = _random_resized_crop(img, self.n_px, rng=self.rng)
+        else:
+            img = _resize_shorter(img, self.n_px)
+            img = _center_crop(img, self.n_px)
+        return _to_array(img) if self.normalize else _to_u8(img)
+
+
 def image_transform(n_px: int, is_train: bool = False,
                     target_pad: Optional[float] = None,
                     rng: Optional[random.Random] = None,
                     normalize: bool = True) -> Callable:
     """PIL image -> normalized float32 HWC array, or (``normalize=False``)
     resized/cropped uint8 HWC for the device-preprocess path."""
+    return _ImageTransform(n_px, is_train, target_pad, rng, normalize)
 
-    pad = TargetPad(target_pad) if target_pad else None
-    finish = _to_array if normalize else _to_u8
 
-    def fn(img):
-        if pad is not None:
-            img = pad(img)
-        if is_train:
-            img = _random_resized_crop(img, n_px, rng=rng)
-        else:
-            img = _resize_shorter(img, n_px)
-            img = _center_crop(img, n_px)
-        return finish(img)
+class _RegionTransform:
+    def __init__(self, n_px: int, normalize: bool):
+        self.n_px = n_px
+        self.normalize = normalize
 
-    return fn
+    def __call__(self, img):
+        img = img.resize((self.n_px, self.n_px), _BICUBIC)
+        return _to_array(img) if self.normalize else _to_u8(img)
 
 
 def region_transform(n_px: int, normalize: bool = True) -> Callable:
     """COCO region-query transform: resize to (n_px, n_px) directly, no crop
     (reference src/eval_retrieval.py:311-314)."""
-
-    finish = _to_array if normalize else _to_u8
-
-    def fn(img):
-        return finish(img.resize((n_px, n_px), _BICUBIC))
-
-    return fn
+    return _RegionTransform(n_px, normalize)
 
 
 def device_normalize(images):

@@ -189,3 +189,49 @@ def test_build_database_int8_artifacts(tmp_path):
     ref_q, ref_s = quantize_int8(jnp.asarray(np.load(out / "image_db.npy")))
     np.testing.assert_array_equal(q, np.asarray(ref_q))
     np.testing.assert_allclose(s, np.asarray(ref_s), rtol=1e-6)
+
+
+class _SquareDataset:
+    """Module-level (picklable) dataset for the process-pool loader."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.full((2, 2), i, np.int32), f"name{i}"
+
+
+def test_loader_worker_processes_matches_threads(tmp_path):
+    """Process-backed decode workers (reference src/data.py:839-863) must
+    produce the same batches as the thread pool, across two epochs (the
+    spawn pool persists between iterations)."""
+    from keds_tpu.data.loader import DataLoader
+
+    ds = _SquareDataset(10)
+    thread_batches = [(a.copy(), list(n)) for a, n in DataLoader(ds, 4, num_workers=2)]
+    loader = DataLoader(ds, 4, num_workers=2, worker_processes=True)
+    try:
+        for _ in range(2):  # two epochs over one persistent pool
+            proc_batches = [(a.copy(), list(n)) for a, n in loader]
+            assert len(proc_batches) == len(thread_batches)
+            for (ta, tn), (pa, pn) in zip(thread_batches, proc_batches):
+                np.testing.assert_array_equal(ta, pa)
+                assert tn == pn
+    finally:
+        loader.close()
+
+
+def test_loader_picklable_transforms():
+    """image_transform/region_transform results must pickle (spawn workers
+    receive the dataset, transform included, via the pool initializer)."""
+    import pickle
+
+    from keds_tpu.transforms import image_transform, region_transform
+
+    for t in (image_transform(32), image_transform(32, is_train=True),
+              image_transform(32, normalize=False, target_pad=1.25),
+              region_transform(16), region_transform(16, normalize=False)):
+        assert callable(pickle.loads(pickle.dumps(t)))
