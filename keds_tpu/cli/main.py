@@ -134,6 +134,8 @@ def main(argv=None) -> None:
     steps_per_epoch = loader.num_batches
     total_steps = steps_per_epoch * cfg.epochs
     optimizer, schedule = make_optimizer(cfg, total_steps)
+    opt_hparams = {"lr": cfg.lr, "beta1": cfg.beta1, "beta2": cfg.beta2,
+                   "eps": cfg.eps, "wd": cfg.wd}
 
     # Neighbor-caption templates for the text stream, tokenized once for the
     # whole DB and gathered by index on device (cached next to the DB).
@@ -162,7 +164,7 @@ def main(argv=None) -> None:
         heads, start_epoch = load_heads_checkpoint(resume)
         heads = jax.device_put(jax.tree.map(jnp.asarray, heads), rep)
         opt_state = jax.device_put(
-            restore_opt_state(resume, optimizer.init(heads)), rep
+            restore_opt_state(resume, optimizer.init(heads), heads=heads), rep
         )
         logging.info("resumed from %s at epoch %d", resume, start_epoch)
 
@@ -217,14 +219,14 @@ def main(argv=None) -> None:
                     os.path.join(cfg.checkpoint_path, f"epoch_{epoch + 1}.pt"),
                     epoch=epoch + 1, name=cfg.name, clip_params=clip_params,
                     clip_cfg=clip_cfg, heads=heads, opt_state=opt_state,
-                    fmt=cfg.checkpoint_format,
+                    fmt=cfg.checkpoint_format, opt_hparams=opt_hparams,
                 )
             if cfg.save_most_recent:
                 save_train_checkpoint(
                     os.path.join(cfg.checkpoint_path, "epoch_latest.pt"),
                     epoch=epoch + 1, name=cfg.name, clip_params=clip_params,
                     clip_cfg=clip_cfg, heads=heads, opt_state=opt_state,
-                    fmt=cfg.checkpoint_format,
+                    fmt=cfg.checkpoint_format, opt_hparams=opt_hparams,
                 )
 
 

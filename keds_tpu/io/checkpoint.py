@@ -40,7 +40,12 @@ def save_train_checkpoint(
     heads: FusionHeads,
     opt_state=None,
     fmt: str = "pt",
+    opt_hparams: Optional[dict] = None,
 ) -> None:
+    """``opt_hparams`` = {lr, beta1, beta2, eps, wd}: when given (the train
+    CLI passes them), the ``optimizer`` entry ALSO carries the exact torch
+    ``AdamW.state_dict()`` layout so the reference can ``load_state_dict``
+    our checkpoints (src/main.py:279-280) — full cross-framework resume."""
     if fmt == "orbax":
         _save_orbax(path, epoch=epoch, name=name, heads=heads, opt_state=opt_state)
         return
@@ -51,6 +56,17 @@ def save_train_checkpoint(
     if opt_state is not None:
         leaves = jax.tree.leaves(opt_state)
         opt_payload = {"leaves": [np.asarray(l) for l in leaves]}
+        if opt_hparams is not None:
+            from keds_tpu.io.opt_convert import optax_opt_state_to_torch
+
+            try:
+                opt_payload.update(optax_opt_state_to_torch(
+                    opt_state, heads,
+                    lr=opt_hparams["lr"], beta1=opt_hparams["beta1"],
+                    beta2=opt_hparams["beta2"], eps=opt_hparams["eps"],
+                    wd=opt_hparams["wd"]))
+            except ValueError as e:  # no Adam moments (e.g. custom opt)
+                logging.debug("torch-format optimizer export skipped: %s", e)
     payload = {
         "epoch": epoch,
         "name": name,
@@ -95,19 +111,40 @@ def load_full_checkpoint(path: str):
     return clip_params, cfg, heads, epoch
 
 
-def restore_opt_state(path: str, template_opt_state):
-    """Rebuild an optax state from saved flattened leaves using a freshly
-    initialized state as the structure template (reference restores the torch
-    optimizer dict, src/main.py:279-280)."""
+def restore_opt_state(path: str, template_opt_state, heads: Optional[FusionHeads] = None):
+    """Rebuild an optax state from a checkpoint's ``optimizer`` entry
+    (reference restores the torch optimizer dict, src/main.py:279-280).
+
+    Three source layouts are accepted:
+
+    * our flattened-leaves payload (exact self-resume),
+    * a torch ``AdamW.state_dict()`` from a reference checkpoint — the
+      moments are mapped per parameter through the weight converters
+      (``io/opt_convert.py``); requires ``heads`` for the parameter census,
+    * anything else / missing -> fresh template state.
+    """
     ckpt = load_pt(path)
-    leaves = ckpt.get("optimizer", {}).get("leaves")
-    if not leaves:
-        return template_opt_state
-    treedef = jax.tree.structure(template_opt_state)
-    if treedef.num_leaves != len(leaves):
-        logging.warning("optimizer state in %s does not match; reinitializing", path)
-        return template_opt_state
-    return jax.tree.unflatten(treedef, leaves)
+    payload = ckpt.get("optimizer", {})
+    leaves = payload.get("leaves") if isinstance(payload, dict) else None
+    if leaves:
+        treedef = jax.tree.structure(template_opt_state)
+        if treedef.num_leaves != len(leaves):
+            logging.warning("optimizer state in %s does not match; reinitializing", path)
+            return template_opt_state
+        return jax.tree.unflatten(treedef, leaves)
+    from keds_tpu.io.opt_convert import (
+        looks_like_torch_opt_state,
+        torch_opt_state_to_optax,
+    )
+
+    if looks_like_torch_opt_state(payload):
+        if heads is None:
+            logging.warning(
+                "checkpoint %s has a torch optimizer state but no heads were "
+                "provided for the parameter census; reinitializing", path)
+            return template_opt_state
+        return torch_opt_state_to_optax(payload, heads, template_opt_state)
+    return template_opt_state
 
 
 def resolve_resume(resume: Optional[str], checkpoint_dir: str) -> Optional[str]:
