@@ -27,6 +27,9 @@ def experiment_name(cfg: Config) -> str:
 
 
 def setup_experiment(cfg: Config, require_fresh: bool = True) -> Config:
+    # Multi-host bring-up MUST precede the first jax.process_index() below —
+    # any backend probe before jax.distributed.initialize() poisons it.
+    maybe_init_distributed(cfg)
     cfg.name = experiment_name(cfg)
     log_dir = os.path.join(cfg.logs, cfg.name)
     cfg.log_path = os.path.join(log_dir, "out.log")  # type: ignore[attr-defined]

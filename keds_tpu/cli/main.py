@@ -63,6 +63,16 @@ def main(argv=None) -> None:
     from keds_tpu.train.trainer import make_optimizer, make_train_step, train_epoch
 
     cfg = parse_args(argv)
+    if cfg.pre_save_feature:
+        raise SystemExit(
+            "--pre-save-feature: feature pre-extraction is the standalone "
+            "tool `python -m keds_tpu.tools.extract_features` (the "
+            "reference's save_feature pass, src/main.py:319-321); train on "
+            "its output with --train-data <out-dir> --dataset-type directory")
+    if cfg.load_feature and cfg.dataset_type == "webdataset":
+        raise SystemExit(
+            "--load-feature trains on precomputed features (the default "
+            "path here); it is incompatible with --dataset-type webdataset")
     cfg = setup_experiment(cfg)
     mesh = setup_runtime(cfg)
     dtype = compute_dtype(cfg)
@@ -121,6 +131,8 @@ def main(argv=None) -> None:
             seed=cfg.seed,
             rank=jax.process_index(), world_size=jax.process_count(),
             train_num_samples=cfg.train_num_samples or 2_803_766,
+            resampled=cfg.dataset_resampled,
+            upsampling_factors=cfg.train_data_upsampling_factors,
         )
         dataset = None
     else:
@@ -131,6 +143,20 @@ def main(argv=None) -> None:
             rank=jax.process_index(), world_size=jax.process_count(),
             worker_processes=cfg.worker_processes,
         )
+    # The reference's only live use of --val-data is counting its samples
+    # into the run config (src/main.py:302-303); retrieval evaluation runs
+    # through the eval CLI. Reproduce the count (csv is the reference's only
+    # val dataset type here, src/data.py:987-988).
+    if cfg.val_data:
+        from keds_tpu.data.datasets import CsvDataset
+
+        val_ds = CsvDataset(cfg.val_data, None, img_key=cfg.csv_img_key,
+                            caption_key=cfg.csv_caption_key,
+                            sep=cfg.csv_separator)
+        cfg.val_sz = len(val_ds)  # type: ignore[attr-defined]
+        logging.info("val data (%s, type %s): %d samples",
+                     cfg.val_data, cfg.dataset_type_val, cfg.val_sz)
+
     steps_per_epoch = loader.num_batches
     total_steps = steps_per_epoch * cfg.epochs
     optimizer, schedule = make_optimizer(cfg, total_steps)
@@ -208,6 +234,7 @@ def main(argv=None) -> None:
         heads, opt_state = train_epoch(
             step_fn, heads, opt_state, batches(), epoch, steps_per_epoch,
             base_rng, schedule=schedule, writers=writers,
+            profile_dir=cfg.profile_dir if epoch == start_epoch else None,
             world_size=jax.process_count(),
         )
         if jax.process_index() == 0:

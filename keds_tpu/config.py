@@ -102,6 +102,7 @@ class Config:
     checkpoint_format: str = "pt"  # pt (reference-compatible) | orbax
     report_to: str = ""
     wandb_notes: str = ""
+    profile_dir: Optional[str] = None  # capture a device trace of train steps
     debug: bool = False
     copy_codebase: bool = False
     # distribution (JAX mesh; GPU-era flags kept for CLI compatibility)
@@ -117,8 +118,16 @@ class Config:
     use_prefix: bool = False
     num_partitions: int = 0  # 0 = all local devices on the data axis
     # misc / feature toggles
+    # pre_save_feature routes to tools/extract_features (the reference's
+    # save_feature pass); load_feature is the default precomputed-feature
+    # train path (only guarded against webdataset input).
     pre_save_feature: bool = False
     load_feature: bool = False
+    # open_clip-heritage flags that are inert in the reference too (parsed
+    # by src/params.py, consumed by no live code path): the zeroshot/
+    # regression eval cadence and its LogReg C, and the imagenet val roots
+    # (src/data.py builds loaders that training never reads).  Accepted for
+    # flag-surface parity; see tests/test_flag_census.py.
     zeroshot_frequency: int = 2
     regression_frequency: int = 2
     C: float = 3.16
@@ -212,6 +221,9 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
     add("--resume", type=str, default=None)
     add("--checkpoint-format", type=str, default="pt", choices=["pt", "orbax"])
     add("--report-to", type=str, default="")
+    add("--profile-dir", type=str, default=None,
+        help="write a TensorBoard-compatible jax.profiler trace of a "
+             "mid-epoch step window to this directory")
     add("--wandb-notes", type=str, default="")
     add("--debug", action="store_true", default=False)
     add("--copy-codebase", action="store_true", default=False)

@@ -133,10 +133,47 @@ class TarShardDataset:
         world_size: int = 1,
         train_num_samples: int = 2_803_766,  # reference default, src/data.py:880
         partial_batches: bool = False,
+        resampled: bool = False,
+        upsampling_factors: Optional[str | Sequence[float]] = None,
     ):
-        self.shards = (list(urls) if not isinstance(urls, str)
-                       else braceexpand(urls))
-        if world_size > 1 and len(self.shards) < world_size:
+        """``urls`` may name several ``::``-separated sources (open_clip
+        convention inherited by the reference flag surface).
+
+        ``resampled`` (``--dataset-resampled``): instead of one shuffled
+        pass over the shard list, shards are drawn i.i.d. WITH replacement,
+        deterministically per (seed, rank, epoch) — so every epoch sees a
+        fresh shard mixture and no shards-per-node divisibility constraint
+        applies (reference src/data.py:884-920 drops the shard-count
+        assertion in this mode).  ``upsampling_factors`` weights the draw
+        per source (``--train-data-upsampling-factors "1::2"``) and
+        requires ``resampled=True``.
+        """
+        if isinstance(urls, str):
+            sources = [braceexpand(u) for u in urls.split("::")]
+        else:
+            sources = [list(urls)]
+        self.shards = [s for src in sources for s in src]
+        if upsampling_factors is not None and upsampling_factors != "":
+            if isinstance(upsampling_factors, str):
+                factors = [float(x) for x in upsampling_factors.split("::")]
+            else:
+                factors = [float(x) for x in upsampling_factors]
+            if len(factors) != len(sources):
+                raise ValueError(
+                    f"--train-data-upsampling-factors has {len(factors)} "
+                    f"entries but --train-data names {len(sources)} sources")
+            if not resampled:
+                raise ValueError(
+                    "--train-data-upsampling-factors requires "
+                    "--dataset-resampled (weights only apply to the "
+                    "with-replacement shard draw)")
+            self.shard_weights: Optional[List[float]] = [
+                f for f, src in zip(factors, sources) for _ in src
+            ]
+        else:
+            self.shard_weights = None
+        self.resampled = resampled
+        if world_size > 1 and not resampled and len(self.shards) < world_size:
             raise ValueError("number of shards must be >= number of nodes")
         self.batch_size = batch_size
         self.decode_image = decode_image
@@ -158,14 +195,26 @@ class TarShardDataset:
         self.epoch = epoch
 
     def _samples(self) -> Iterator[dict]:
-        rng = random.Random(self.seed + self.epoch)
-        shards = list(self.shards)
-        if self.shuffle_shards:
-            rng.shuffle(shards)
-        shards = shards[self.rank::self.world_size]
+        if self.resampled:
+            # deterministic per (seed, rank, epoch): every rank draws its own
+            # i.i.d. shard sequence; the epoch budget in __iter__ bounds it
+            rng = random.Random(f"{self.seed}:{self.rank}:{self.epoch}")
+
+            def shard_stream() -> Iterator[str]:
+                while True:
+                    yield rng.choices(self.shards, weights=self.shard_weights, k=1)[0]
+        else:
+            rng = random.Random(self.seed + self.epoch)
+            shards = list(self.shards)
+            if self.shuffle_shards:
+                rng.shuffle(shards)
+            shards = shards[self.rank::self.world_size]
+
+            def shard_stream() -> Iterator[str]:
+                return iter(shards)
 
         def raw():
-            for shard in shards:
+            for shard in shard_stream():
                 yield from group_tar_samples(iter_tar(shard))
 
         yield from ShuffleBuffer(self.shuffle_buffer, self.shuffle_buffer // 5, rng)(raw())

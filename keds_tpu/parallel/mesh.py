@@ -23,20 +23,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def maybe_init_distributed(cfg=None) -> None:
     """Initialize multi-host JAX if we're on a multi-host platform.  Safe to
-    call unconditionally on a single host."""
-    try:
-        if jax.process_count() > 1:
-            return  # already initialized
-    except RuntimeError:
-        pass
+    call unconditionally on a single host.
+
+    Two bring-up paths:
+
+    * TPU-pod env (COORDINATOR_ADDRESS / MEGASCALE_*): auto-discovery,
+    * explicit ``--distributed``: the reference's torch-style launch
+      (``src/main.py:113-119`` init_process_group with ``--dist-url`` +
+      RANK/WORLD_SIZE env) mapped onto ``jax.distributed.initialize``.
+    """
     import os
 
+    # NB: no jax.process_count()/jax.devices() probes before initialize —
+    # they would eagerly create the local-only backend and poison the
+    # distributed bring-up.
+    def _init(**kwargs) -> bool:
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError as e:  # already initialized (idempotent call)
+            if "already" not in str(e).lower():
+                raise
+            return False
+        return True
+
     if any(k in os.environ for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")):
-        jax.distributed.initialize()
-        logging.info(
-            "jax.distributed initialized: process %d/%d",
-            jax.process_index(), jax.process_count(),
-        )
+        if _init():
+            logging.info(
+                "jax.distributed initialized: process %d/%d",
+                jax.process_index(), jax.process_count(),
+            )
+        return
+    if cfg is not None and cfg.distributed:
+        num = int(os.environ.get("WORLD_SIZE", "1"))
+        if num <= 1:
+            logging.warning("--distributed set but WORLD_SIZE<=1; single-process")
+            return
+        pid = int(os.environ.get("RANK", "0"))
+        addr = cfg.dist_url.split("//")[-1]  # tcp://host:port -> host:port
+        if _init(coordinator_address=addr, num_processes=num, process_id=pid):
+            logging.info(
+                "jax.distributed initialized via --dist-url %s: process %d/%d",
+                cfg.dist_url, jax.process_index(), jax.process_count(),
+            )
 
 
 def device_count() -> int:

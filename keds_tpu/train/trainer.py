@@ -159,33 +159,55 @@ def train_epoch(
     schedule: Optional[Callable] = None,
     writers: Tuple = (),
     world_size: int = 1,
+    profile_dir: Optional[str] = None,
+    profile_window: Tuple[int, int] = (10, 20),
 ) -> Tuple[FusionHeads, object]:
     """Epoch loop with the reference's step-time / data-time / loss logging
-    cadence (src/trainer.py:483-508)."""
-    end = time.time()
+    cadence (src/trainer.py:483-508).  ``profile_dir`` captures a
+    TensorBoard-compatible device trace of steps
+    ``profile_window[0]..profile_window[1]`` (after compile + warmup)."""
+    from keds_tpu.profiling import StepTimer, annotate
+
+    timer = StepTimer()
     loss_val = None
+    tracing = False
     for i, batch in enumerate(data_iter):
         if i >= steps_per_epoch:
             break
         step = epoch * steps_per_epoch + i
-        data_time = time.time() - end
+        timer.data_ready()
+        if profile_dir and not tracing and i == min(profile_window[0], max(steps_per_epoch - 2, 0)):
+            jax.profiler.start_trace(profile_dir)
+            tracing = True
         rng = jax.random.fold_in(base_rng, step)
-        heads, opt_state, loss = train_step(heads, opt_state, batch, rng)
+        with annotate(f"train_step_e{epoch}"):
+            heads, opt_state, loss = train_step(heads, opt_state, batch, rng)
+        if tracing and i >= profile_window[1]:
+            float(np.asarray(loss))  # force completion into the trace window
+            jax.profiler.stop_trace()
+            logging.info("profiler trace written to %s", profile_dir)
+            tracing = False
         if (i % log_every) == 0:
             # On remote-execution backends only a data fetch synchronizes.
             loss_val = float(np.asarray(loss))
-            batch_time = time.time() - end
+            timer.step_done()
             lr = float(schedule(step)) if schedule else float("nan")
             pct = 100.0 * i / max(steps_per_epoch, 1)
             batch_n = jax.tree.leaves(batch)[0].shape[0]
             logging.info(
                 f"Train Epoch: {epoch} [{i * batch_n * world_size}"
-                f" ({pct:.0f}%)]\tLoss: {loss_val:.6f}\tData (t) {data_time:.3f}"
-                f"\tBatch (t) {batch_time:.3f}\tLR: {lr:5f}"
+                f" ({pct:.0f}%)]\tLoss: {loss_val:.6f}\tData (t) {timer.data_time:.3f}"
+                f"\tBatch (t) {timer.batch_time:.3f}\tLR: {lr:5f}"
             )
-            scalars = {"train/loss": loss_val, "train/data_time": data_time,
-                       "train/batch_time": batch_time, "train/lr": lr}
+            scalars = {"train/loss": loss_val, "train/data_time": timer.data_time,
+                       "train/batch_time": timer.batch_time, "train/lr": lr}
             for w in writers:
                 w(scalars, step)
+        else:
+            timer.step_done()
+    if tracing:
+        float(np.asarray(loss))
+        jax.profiler.stop_trace()
+        logging.info("profiler trace written to %s", profile_dir)
         end = time.time()
     return heads, opt_state

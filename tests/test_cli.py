@@ -158,3 +158,47 @@ def test_demo_cli(tmp_path, monkeypatch):
     assert index.is_file()
     html = index.read_text()
     assert "a cartoon of *" in html and "<img" in html
+
+
+def test_pre_save_feature_routes_to_tool():
+    from keds_tpu.cli.main import main as train_main
+
+    with pytest.raises(SystemExit, match="extract_features"):
+        train_main(["--pre-save-feature"])
+
+
+def test_train_cli_profile_dir(tmp_path):
+    """--profile-dir must produce a trace capture during the epoch
+    (round-1 VERDICT item 8: profiling advertised but unwired)."""
+    from keds_tpu.cli.main import main as train_main
+    from keds_tpu.io.pt import save_pt
+
+    d = 64
+    ckpt, cfg = _write_clip_ckpt(tmp_path)
+    rng = np.random.default_rng(0)
+    feat_dir = tmp_path / "features"
+    feat_dir.mkdir()
+    n = 96  # enough samples that the profile window [10, 20) fits in epoch 0
+    np.save(feat_dir / "image_features.npy", rng.standard_normal((n, d)).astype(np.float32))
+    np.save(feat_dir / "text_features.npy", rng.standard_normal((n, d)).astype(np.float32))
+    names = [f"s{i}" for i in range(n)]
+    (feat_dir / "names.json").write_text(json.dumps(names))
+    (feat_dir / "cc_subject.json").write_text(json.dumps({m: "a thing" for m in names}))
+    (feat_dir / "cc_other.json").write_text(json.dumps({m: "* on a table" for m in names}))
+    db_dir = tmp_path / "db"
+    db_dir.mkdir()
+    save_pt(np.float32(rng.standard_normal((64, d))), str(db_dir / "cc_image_databases.pt"))
+    save_pt(np.float32(rng.standard_normal((64, d))), str(db_dir / "cc_text_databases.pt"))
+    (db_dir / "database_names.txt").write_text("\n".join(f"n{i}.jpg" for i in range(64)))
+
+    prof = tmp_path / "prof"
+    train_main([
+        "--train-data", str(feat_dir), "--dataset-type", "directory",
+        "--clip-weights", ckpt, "--database-path", str(db_dir),
+        "--batch-size", "4", "--epochs", "1", "--warmup", "2",
+        "--lr", "1e-3", "--wd", "0.1", "--precision", "fp32",
+        "--logs", str(tmp_path / "logs"), "--name", "prof", "--db-topk", "4",
+        "--stream", "image", "--profile-dir", str(prof),
+    ])
+    captures = list(prof.rglob("*.xplane.pb")) + list(prof.rglob("*.trace.json*"))
+    assert captures, f"no trace artifacts under {prof}"

@@ -235,3 +235,59 @@ def test_loader_picklable_transforms():
               image_transform(32, normalize=False, target_pad=1.25),
               region_transform(16), region_transform(16, normalize=False)):
         assert callable(pickle.loads(pickle.dumps(t)))
+
+
+def _resampled_ds(tmp_path, **kw):
+    rng = np.random.default_rng(3)
+    n_per = 6
+    for src, tag in ((0, "x"), (1, "y")):
+        for s in range(2):
+            _write_shard(
+                str(tmp_path / f"{tag}-0000{s}.tar"),
+                [(f"{tag}{s}_{i}", rng.integers(0, 255, (4, 4), dtype=np.uint8))
+                 for i in range(n_per)],
+            )
+
+    def decode(raw):
+        return np.frombuffer(raw, dtype=np.uint8).reshape(4, 4).astype(np.float32)
+
+    caps = {f"{t}{s}_{i}": f"{t}" for t in "xy" for s in range(2) for i in range(n_per)}
+    urls = (str(tmp_path / "x-{00000..00001}.tar") + "::"
+            + str(tmp_path / "y-{00000..00001}.tar"))
+    return TarShardDataset(
+        urls, batch_size=4, decode_image=decode, caption_map=caps,
+        tokenize=lambda texts: np.asarray([[ord(t[0])] for t in texts], np.int32),
+        shuffle_buffer=8, train_num_samples=32, **kw)
+
+
+def test_tar_resampled_deterministic_per_epoch(tmp_path):
+    """--dataset-resampled: with-replacement shard draw, deterministic per
+    (seed, epoch), different mixture across epochs."""
+    a = _resampled_ds(tmp_path, resampled=True, seed=7)
+    b = _resampled_ds(tmp_path, resampled=True, seed=7)
+    ba, bb = list(a), list(b)
+    assert len(ba) == a.num_batches == 8
+    for (ia, ta), (ib, tb) in zip(ba, bb):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ta, tb)
+    a.set_epoch(1)
+    b1 = list(a)
+    assert any(not np.array_equal(x[0], y[0]) for x, y in zip(ba, b1))
+
+
+def test_tar_resampled_upsampling_factors(tmp_path):
+    """A zero factor must exclude that source entirely from the draw."""
+    ds = _resampled_ds(tmp_path, resampled=True,
+                       upsampling_factors="0::1", seed=1)
+    toks = np.concatenate([t for _, t in ds]).ravel()
+    assert (toks == ord("y")).all(), "weight-0 source leaked into the stream"
+
+
+def test_tar_upsampling_requires_resampled(tmp_path):
+    with pytest.raises(ValueError, match="dataset-resampled"):
+        _resampled_ds(tmp_path, resampled=False, upsampling_factors="1::2")
+
+
+def test_tar_upsampling_factor_count_mismatch(tmp_path):
+    with pytest.raises(ValueError, match="2 sources"):
+        _resampled_ds(tmp_path, resampled=True, upsampling_factors="1::2::3")
