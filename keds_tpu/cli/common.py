@@ -112,9 +112,9 @@ def load_database(cfg: Config, mesh=None):
         db = db.shard_over(mesh)
     backend = cfg.retrieval_backend
     if backend == "auto":
-        # Measured on v5e at the flagship size (0.5M rows, batch<=128): XLA's
-        # matmul + TopK custom-call edges out the fused kernel (4.8 vs 6.4 ms
-        # at B=32); the Pallas path stays selectable for shapes where fusing
-        # wins (small DBs / large batches).
+        # Round-2 sweep (BENCH_NOTES.md): XLA's matmul + TopK custom call
+        # wins at every measured size (4.3 vs 6.1 ms at 0.5M, 2.5 vs 3.0 ms
+        # at 50k, b32), and the kernel's tile-local lax.top_k merge cannot
+        # lower on this stack.  The Pallas path stays selectable.
         backend = "xla"
     return Retriever(db, backend=backend, mesh=mesh, sharded=sharded)

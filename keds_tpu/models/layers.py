@@ -29,10 +29,11 @@ def flash_enabled() -> bool:
 
     Default OFF: at the model family's short sequences (<=257 tokens) XLA's
     compiled attention already runs the towers at the measured pure-matmul
-    ceiling of the chip, and the per-(batch, head) kernel grid is slower
-    (measured on v5e: 347 img/s XLA vs 263 img/s fused for ViT-L/14 b32).
-    The kernel remains available for long-sequence variants and future
-    multi-head blocking work.
+    ceiling of the chip.  Round 2's head-group blocking recovered the whole
+    round-1 deficit (599 vs 601 img/s for ViT-L/14 b32 encode; round 1's
+    single-head grid was launch-bound at 263) — exact parity, so XLA stays
+    the default and the blocked kernel is the starting point for
+    long-sequence variants (sweep table in BENCH_NOTES.md).
     """
     env = os.environ.get("KEDS_TPU_FLASH")
     if env is not None:

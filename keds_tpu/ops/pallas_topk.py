@@ -63,7 +63,10 @@ def _kernel(q_ref, db_ref, vals_ref, idx_ref, svals, sidx, *, k: int,
 
     if use_lax_topk:
         # Tile-local top-k in one fused op, then a cheap (2k-wide) merge with
-        # the running set.
+        # the running set.  NB: lax.top_k is an unimplemented Pallas-TPU
+        # primitive on the current jax/libtpu (fails at lowering; round-2
+        # sweep, BENCH_NOTES.md) — this path works in interpret mode / future
+        # stacks only.
         tile_vals, tile_pos = jax.lax.top_k(scores, k)                # (TQ, k)
         tile_idx = row_base + tile_pos.astype(jnp.int32)
         cand_vals = jnp.concatenate([svals[:], tile_vals], axis=1)    # (TQ, 2k)

@@ -77,3 +77,32 @@ def test_tower_uses_flash_when_forced(monkeypatch):
         layers.flash_enabled.cache_clear()
     np.testing.assert_allclose(np.asarray(flashed), np.asarray(baseline),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("group", [1, 2, 4, 8])
+def test_flash_group_blocking_matches_reference(group):
+    """Head-group blocking (round-2: G heads per kernel instance) must be
+    numerically identical to the reference attention for every G."""
+    import jax
+
+    from keds_tpu.ops.attention import attention_reference, flash_attention
+
+    B, H, S, D = 2, 4, 57, 32
+    kq, kk, kv = jax.random.split(jax.random.key(5), 3)
+    q = jax.random.normal(kq, (B, H, S, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, S, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, S, D), jnp.float32)
+    ref = attention_reference(q, k, v, causal=True)
+    out = flash_attention(q, k, v, True, True, group)  # interpret mode
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_auto_group_divides_bh():
+    from keds_tpu.ops.attention import _pick_group
+
+    for bh, sp, d in ((512, 384, 64), (16, 128, 64), (6, 128, 64), (1, 384, 64)):
+        g = _pick_group(bh, sp, d, 2)
+        assert bh % g == 0
+        # working set must respect the VMEM budget used for the choice
+        assert 4 * g * sp * d * 2 * 2 + 2 * g * sp * sp * 4 <= 10 * 1024 * 1024 or g == 1
