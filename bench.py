@@ -94,6 +94,8 @@ def main() -> None:
                    help="W8A8-quantize the tower GEMMs (BENCH_NOTES: ~parity "
                         "speed on v5e via XLA — int8 is not double-rate on "
                         "this stack; 4x smaller tower weights)")
+    p.add_argument("--retrieval", choices=["xla", "approx", "int8", "pallas"],
+                   default="xla", help="retrieval backend for the headline")
     p.add_argument("--u8", action="store_true",
                    help="feed uint8 images + in-graph normalization (the "
                         "device-preprocess wire format; 2x less transfer "
@@ -135,7 +137,7 @@ def main() -> None:
         from keds_tpu.ops.quant import quantize_clip_blocks
 
         clip_params = quantize_clip_blocks(clip_params)
-    retriever = Retriever(db, backend="xla")
+    retriever = Retriever(db, backend=args.retrieval)
     rng = np.random.default_rng(0)
 
     def make_images(r):

@@ -64,7 +64,7 @@ class Config:
     db_names_file: Optional[str] = None
     db_topk: int = 16
     db_shard: bool = False  # shard DB rows over the mesh instead of replicating
-    retrieval_backend: str = "auto"  # auto | xla | pallas
+    retrieval_backend: str = "auto"  # auto | xla | pallas | int8 | approx
     # TPU-native extensions (no reference counterpart)
     quant_towers: str = "none"  # none | int8: W8A8 tower GEMMs (inference)
     device_preprocess: bool = True  # ship uint8, normalize on device
@@ -180,7 +180,9 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
     add("--db-topk", type=int, default=16)
     add("--db-shard", action="store_true", default=False)
     add("--retrieval-backend", type=str, default="auto",
-        choices=["auto", "xla", "pallas", "int8"])
+        choices=["auto", "xla", "pallas", "int8", "approx"],
+        help="approx: TPU hardware partial-reduce ANN with exact re-rank of "
+             "4x-oversampled candidates (0.998 top-16 recall at 0.5M rows)")
     add("--quant-towers", type=str, default="none", choices=["none", "int8"],
         help="int8: W8A8-quantize the CLIP tower GEMMs for inference "
              "(4x smaller weights; see BENCH_NOTES.md for v5e speed findings)")

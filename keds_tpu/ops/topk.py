@@ -82,12 +82,43 @@ def _local_then_merge(queries, db_shard, k, axis_name, backend, interpret, n_rea
     k_local = min(k, n_local)
     if backend == "pallas":
         vals, idx = mips_topk_fused(queries, db_shard, k_local, interpret=interpret)
+    elif backend == "approx":
+        vals, idx = mips_topk_approx(queries, db_shard, k_local)
     else:
         vals, idx = mips_topk(queries, db_shard, k_local)
     shard = jax.lax.axis_index(axis_name)
     gidx = idx + (shard * n_local).astype(jnp.int32)
     vals, gidx = _pad_candidates(vals, gidx, k)
     return _merge_candidates(vals, gidx, k, axis_name, n_real)
+
+
+def mips_topk_approx(
+    queries: jax.Array,
+    db: jax.Array,
+    k: int,
+    oversample: int = 4,
+    recall_target: float = 0.95,
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate top-k using the TPU's hardware-accelerated partial-reduce
+    (``jax.lax.approx_max_k``) with exact re-ranking of the oversampled
+    candidate set.
+
+    The reference ships only faiss ``IndexFlatL2`` (exact); this is the
+    ANN serving mode its faiss users would reach for at larger corpora.
+    Measured at (0.5M x 768, b32, k=16): 2.9 vs 3.8 ms exact, candidate-set
+    recall 0.998 with the default 4x oversample (BENCH_NOTES.md).  On
+    non-TPU backends ``approx_max_k`` lowers to an exact top-k, so results
+    degrade gracefully to exact.
+    """
+    scores = jax.lax.dot_general(
+        queries, db, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    kk = min(k * max(oversample, 1), db.shape[0])
+    cand_vals, cand_idx = jax.lax.approx_max_k(scores, kk,
+                                               recall_target=recall_target)
+    vals, pos = jax.lax.top_k(cand_vals, k)
+    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    return vals, idx.astype(jnp.int32)
 
 
 def quantize_int8(db: jax.Array) -> Tuple[jax.Array, jax.Array]:

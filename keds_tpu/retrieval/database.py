@@ -25,6 +25,7 @@ import numpy as np
 
 from keds_tpu.ops.topk import (
     mips_topk,
+    mips_topk_approx,
     mips_topk_fused,
     mips_topk_int8,
     mips_topk_int8_sharded,
@@ -194,6 +195,8 @@ class Retriever:
             )
         if self.backend == "pallas":
             return mips_topk_fused(queries, db_array, k, interpret=interpret)
+        if self.backend == "approx":
+            return mips_topk_approx(queries, db_array, k)
         return mips_topk(queries, db_array, k)
 
     def _gather(self, db_array: jax.Array, idx: jax.Array) -> jax.Array:

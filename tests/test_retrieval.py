@@ -126,3 +126,53 @@ def test_caption_neighbors_and_names():
     assert feats.shape == (3, 2, 64)
     got = r.names_for(np.asarray(idx))
     assert len(got) == 6 and all(n in names for n in got)
+
+
+def test_approx_backend_matches_exact_on_cpu():
+    """--retrieval-backend approx: on non-TPU backends approx_max_k lowers to
+    an exact top-k, so results must equal the xla backend bit-for-bit."""
+    import jax
+
+    from keds_tpu.ops.topk import mips_topk, mips_topk_approx
+    from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+
+    rng = np.random.default_rng(11)
+    db_img = rng.standard_normal((512, 64)).astype(np.float32)
+    db_txt = rng.standard_normal((512, 64)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((8, 64)), jnp.float32)
+
+    v_e, i_e = mips_topk(q, jnp.asarray(db_img), 16)
+    v_a, i_a = mips_topk_approx(q, jnp.asarray(db_img), 16)
+    np.testing.assert_array_equal(np.asarray(i_e), np.asarray(i_a))
+    np.testing.assert_allclose(np.asarray(v_e), np.asarray(v_a), rtol=1e-6)
+
+    db = KnowledgeDB.from_arrays(db_img, db_txt, dtype=jnp.float32)
+    r_x = Retriever(db, backend="xla")
+    r_a = Retriever(db, backend="approx")
+    feats = jnp.asarray(rng.standard_normal((8, 64)), jnp.float32)
+    tx_i, tx_t = r_x.retrieve_features(feats, k=16, rng=None)
+    ta_i, ta_t = r_a.retrieve_features(feats, k=16, rng=None)
+    np.testing.assert_allclose(np.asarray(tx_i), np.asarray(ta_i), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tx_t), np.asarray(ta_t), rtol=1e-6)
+
+
+def test_approx_backend_sharded_matches_replicated():
+    import jax
+
+    from keds_tpu.parallel.mesh import make_mesh
+    from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+
+    rng = np.random.default_rng(12)
+    db_img = rng.standard_normal((96, 32)).astype(np.float32)
+    db_txt = rng.standard_normal((96, 32)).astype(np.float32)
+    db = KnowledgeDB.from_arrays(db_img, db_txt, dtype=jnp.float32)
+    mesh = make_mesh(8)
+    db_s = db.shard_over(mesh)
+    r_rep = Retriever(db, backend="approx")
+    r_sh = Retriever(db_s, backend="approx", mesh=mesh, sharded=True)
+    feats = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    a_i, a_t = r_rep.retrieve_features(feats, k=8, rng=None)
+    s_i, s_t = r_sh.retrieve_features(
+        feats, k=8, rng=None, db_arrays=(db_s.image_db, db_s.text_db))
+    np.testing.assert_allclose(np.asarray(a_i), np.asarray(s_i), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_t), np.asarray(s_t), rtol=1e-6)
