@@ -39,7 +39,12 @@ class ComposedQueryEngine:
         db_topk: int = 16,
         compute_dtype=jnp.bfloat16,
         quant_towers: str = "none",
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
+        """``mesh``: shard query/corpus batches over the 'data' axis (params
+        and DB replicated unless a sharded retriever is passed) — the
+        serving scale-out path; per-chip throughput is the bench headline
+        and the composed query is embarrassingly data-parallel."""
         cast = lambda a: jnp.asarray(a, compute_dtype) if jnp.issubdtype(  # noqa: E731
             np.asarray(a).dtype, np.floating) else jnp.asarray(a)
         self.cfg = cfg
@@ -49,6 +54,13 @@ class ComposedQueryEngine:
 
             self.clip_c = quantize_clip_blocks(self.clip_c)
         self.heads = jax.tree.map(cast, heads)
+        self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            self.clip_c = jax.device_put(self.clip_c, rep)
+            self.heads = jax.device_put(self.heads, rep)
         self.db = db
         self.retriever = retriever or Retriever(db)
         self.db_topk = db_topk
@@ -78,22 +90,40 @@ class ComposedQueryEngine:
         self._encode = _encode
         self._composed = _composed
 
+    def _shard(self, x: jax.Array):
+        """Pad a batch to the mesh axis and place it sharded; returns the
+        (possibly padded) array and the real row count."""
+        if self.mesh is None:
+            return x, x.shape[0]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = x.shape[0]
+        w = self.mesh.shape["data"]
+        pad = (-n) % w
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        return jax.device_put(x, NamedSharding(self.mesh, P("data"))), n
+
     # -- corpus -------------------------------------------------------------
     def encode_corpus(self, image_batches: Iterable) -> np.ndarray:
         """Encode target images into unit-norm features.  All batches are
         dispatched before any result is fetched (pipelined)."""
-        outs = [self._encode(self.clip_c, jnp.asarray(b)) for b in image_batches]
+        outs = []
+        for b in image_batches:
+            x, n = self._shard(jnp.asarray(b))
+            outs.append(self._encode(self.clip_c, x)[:n])
         return np.concatenate([np.asarray(o.astype(jnp.float32)) for o in outs])
 
     # -- queries ------------------------------------------------------------
     def compose(self, image_batches: Sequence, text_batches: Sequence) -> np.ndarray:
         """Composed query features for (reference image, prompt-with-*) pairs,
         pipelined across batches."""
-        outs = [
-            self._composed(self.clip_c, self.heads, self.db.image_db,
-                           self.db.text_db, jnp.asarray(im), jnp.asarray(tx))
-            for im, tx in zip(image_batches, text_batches)
-        ]
+        outs = []
+        for im, tx in zip(image_batches, text_batches):
+            xi, n = self._shard(jnp.asarray(im))
+            xt, _ = self._shard(jnp.asarray(tx))
+            outs.append(self._composed(self.clip_c, self.heads, self.db.image_db,
+                                       self.db.text_db, xi, xt)[:n])
         return np.concatenate([np.asarray(o.astype(jnp.float32)) for o in outs])
 
     def search(self, image_batches: Sequence, text_batches: Sequence,

@@ -45,3 +45,47 @@ def test_engine_end_to_end():
     assert scores.shape == (2, 5) and idx.shape == (2, 5)
     assert (np.diff(scores, axis=1) <= 1e-6).all()
     assert (idx < 12).all() and (idx >= 0).all()
+
+
+def test_engine_mesh_sharded_matches_single_device():
+    """Mesh-sharded serving (batch over 'data', padded odd batches) must
+    equal the unsharded engine bit-for-close."""
+    import jax
+
+    from keds_tpu.engine import ComposedQueryEngine
+    from keds_tpu.models import clip as mclip, heads as mheads
+    from keds_tpu.models.composition import FusionHeads
+    from keds_tpu.parallel.mesh import make_mesh
+    from keds_tpu.retrieval.database import KnowledgeDB
+
+    D = 64
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=2,
+    )
+    params = mclip.init_clip(jax.random.key(0), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, D, 48, D),
+        retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+    )
+    rng = np.random.default_rng(0)
+    db = KnowledgeDB.from_arrays(rng.standard_normal((64, D)),
+                                 rng.standard_normal((64, D)), dtype=jnp.float32)
+    mk = lambda mesh: ComposedQueryEngine(  # noqa: E731
+        params, cfg, heads, db, compute_dtype=jnp.float32, db_topk=8, mesh=mesh)
+    e1 = mk(None)
+    e8 = mk(make_mesh(8))
+
+    # odd batch size (5) forces padding on the 8-device mesh
+    imgs = [rng.standard_normal((5, 32, 32, 3)).astype(np.float32)]
+    text = np.zeros((5, 77), np.int32)
+    text[:, :8] = [49406, 320, 1125, 539, 265, 267, 1929, 49407]
+    corpus1 = e1.encode_corpus(imgs)
+    corpus8 = e8.encode_corpus(imgs)
+    np.testing.assert_allclose(corpus8, corpus1, rtol=1e-5, atol=1e-5)
+    q1 = e1.compose(imgs, [text])
+    q8 = e8.compose(imgs, [text])
+    np.testing.assert_allclose(q8, q1, rtol=1e-5, atol=1e-5)
