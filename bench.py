@@ -96,6 +96,11 @@ def main() -> None:
                         "this stack; 4x smaller tower weights)")
     p.add_argument("--retrieval", choices=["xla", "approx", "int8", "pallas"],
                    default="xla", help="retrieval backend for the headline")
+    p.add_argument("--encode-chunk", type=int, default=None,
+                   help="encode the batch in chunks of this size inside the "
+                        "composed program (encode is fastest at b32; "
+                        "retrieval/text-tower MXU utilization grows with "
+                        "batch — chunked encode decouples the two)")
     p.add_argument("--u8", action="store_true",
                    help="feed uint8 images + in-graph normalization (the "
                         "device-preprocess wire format; 2x less transfer "
@@ -120,11 +125,13 @@ def main() -> None:
     import __graft_entry__ as ge
 
     quick = args.quick
-    # Round-2 finding (BENCH_NOTES): encode throughput is essentially flat in
-    # batch (631/614/586 img/s at b32/b64/b128 on clean idle-host runs; the
-    # round-1 "inverse scaling" was a corrupted measurement).  b32 stays the
-    # default: best throughput AND 4x less latency per batch.
-    batch = args.batch or 32
+    # Headline schedule (round 2): macro-batch 128 with chunked b32 encode —
+    # encode runs at its optimal batch while retrieval/text-tower amortize
+    # their lane-bound costs over 4x the queries (509 vs 496 q/s measured;
+    # sweep in BENCH_NOTES).
+    batch = args.batch or 128
+    if args.encode_chunk is None and args.batch is None:
+        args.encode_chunk = 32
     db_rows = args.db_rows or (50_000 if quick else 500_000)
     iters = args.iters or (5 if quick else 15)
     dtype = jnp.bfloat16
@@ -184,7 +191,16 @@ def main() -> None:
 
     # --- headline: full composed-query pipeline ---------------------------
     def composed(clip_params, heads, db_img, db_txt, images, text):
-        f = mclip.encode_image(clip_params, cfg, device_normalize(images))
+        chunk = args.encode_chunk
+        B = images.shape[0]
+        if chunk and B % chunk == 0 and B > chunk:
+            xs = images.reshape(B // chunk, chunk, *images.shape[1:])
+            f = jax.lax.map(
+                lambda im: mclip.encode_image(clip_params, cfg,
+                                              device_normalize(im)), xs)
+            f = f.reshape(B, f.shape[-1])
+        else:
+            f = mclip.encode_image(clip_params, cfg, device_normalize(images))
         ti, tt = retriever.retrieve_features(
             f.astype(jnp.float32), k=16, db_arrays=(db_img, db_txt)
         )

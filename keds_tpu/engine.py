@@ -40,11 +40,18 @@ class ComposedQueryEngine:
         compute_dtype=jnp.bfloat16,
         quant_towers: str = "none",
         mesh: Optional[jax.sharding.Mesh] = None,
+        encode_chunk: Optional[int] = 32,
     ):
         """``mesh``: shard query/corpus batches over the 'data' axis (params
         and DB replicated unless a sharded retriever is passed) — the
         serving scale-out path; per-chip throughput is the bench headline
-        and the composed query is embarrassingly data-parallel."""
+        and the composed query is embarrassingly data-parallel.
+
+        ``encode_chunk``: when a query batch is a multiple of this, the
+        image encode runs in chunks of this size inside the program (encode
+        is fastest at b32 on v5e while retrieval/text-tower utilization
+        grows with batch — the macro-batch schedule, +3% measured at
+        128/32; BENCH_NOTES.md).  None disables chunking."""
         cast = lambda a: jnp.asarray(a, compute_dtype) if jnp.issubdtype(  # noqa: E731
             np.asarray(a).dtype, np.floating) else jnp.asarray(a)
         self.cfg = cfg
@@ -68,16 +75,28 @@ class ComposedQueryEngine:
 
         from keds_tpu.transforms import device_normalize
 
+        def _enc_maybe_chunked(cp, images):
+            B = images.shape[0]
+            if (encode_chunk and B > encode_chunk and B % encode_chunk == 0
+                    and self.mesh is None):
+                xs = images.reshape(B // encode_chunk, encode_chunk,
+                                    *images.shape[1:])
+                f = jax.lax.map(
+                    lambda im: mclip.encode_image(cp, cfg, device_normalize(im)),
+                    xs)
+                return f.reshape(B, f.shape[-1])
+            return mclip.encode_image(cp, cfg, device_normalize(images))
+
         @jax.jit
         def _encode(cp, images):
-            f = mclip.encode_image(cp, cfg, device_normalize(images))
+            f = _enc_maybe_chunked(cp, images)
             return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
         retr = self.retriever
 
         @jax.jit
         def _composed(cp, heads, db_img, db_txt, images, text):
-            f = mclip.encode_image(cp, cfg, device_normalize(images))
+            f = _enc_maybe_chunked(cp, images)
             ti, tt = retr.retrieve_features(
                 f.astype(jnp.float32), k=db_topk, db_arrays=(db_img, db_txt)
             )

@@ -89,3 +89,41 @@ def test_engine_mesh_sharded_matches_single_device():
     q1 = e1.compose(imgs, [text])
     q8 = e8.compose(imgs, [text])
     np.testing.assert_allclose(q8, q1, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_chunked_encode_matches_unchunked():
+    import jax
+
+    from keds_tpu.engine import ComposedQueryEngine
+    from keds_tpu.models import clip as mclip, heads as mheads
+    from keds_tpu.models.composition import FusionHeads
+    from keds_tpu.retrieval.database import KnowledgeDB
+
+    D = 64
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=2,
+    )
+    params = mclip.init_clip(jax.random.key(0), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, D, 48, D),
+        retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+    )
+    rng = np.random.default_rng(1)
+    db = KnowledgeDB.from_arrays(rng.standard_normal((64, D)),
+                                 rng.standard_normal((64, D)), dtype=jnp.float32)
+    mk = lambda chunk: ComposedQueryEngine(  # noqa: E731
+        params, cfg, heads, db, compute_dtype=jnp.float32, db_topk=8,
+        encode_chunk=chunk)
+    e_plain = mk(None)
+    e_chunk = mk(4)
+    imgs = [rng.standard_normal((8, 32, 32, 3)).astype(np.float32)]
+    text = np.zeros((8, 77), np.int32)
+    text[:, :8] = [49406, 320, 1125, 539, 265, 267, 1929, 49407]
+    np.testing.assert_allclose(e_chunk.encode_corpus(imgs),
+                               e_plain.encode_corpus(imgs), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(e_chunk.compose(imgs, [text]),
+                               e_plain.compose(imgs, [text]), rtol=1e-5, atol=1e-5)
