@@ -125,7 +125,8 @@ def main(argv=None) -> None:
         loader = TarShardDataset(
             cfg.train_data,
             batch_size=cfg.batch_size * mesh.devices.size,
-            decode_image=pil_jpeg_decoder(clip_cfg.image_resolution, is_train=True),
+            decode_image=pil_jpeg_decoder(clip_cfg.image_resolution, is_train=True,
+                                          normalize=not cfg.device_preprocess),
             caption_map=cap_map,
             tokenize=tokenize,
             seed=cfg.seed,
@@ -215,7 +216,9 @@ def main(argv=None) -> None:
             for images, caps in loader:
                 b = images.shape[0]
                 yield RawBatch(
-                    images=jax.device_put(jnp.asarray(images, dtype), shard),
+                    images=jax.device_put(
+                        jnp.asarray(images) if images.dtype == np.uint8
+                        else jnp.asarray(images, dtype), shard),
                     caption_tokens=jax.device_put(jnp.asarray(caps), shard),
                     other_tokens=jax.device_put(jnp.zeros((b, 77), jnp.int32), shard),
                 )

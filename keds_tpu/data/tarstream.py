@@ -259,14 +259,17 @@ class TarShardDataset:
             yield np.stack(images), np.stack(caps)
 
 
-def pil_jpeg_decoder(n_px: int = 224, is_train: bool = True) -> Callable:
-    """Byte -> normalized array decoder using the host PIL pipeline
-    (reference my_decoder_kv, src/data.py:866-871)."""
+def pil_jpeg_decoder(n_px: int = 224, is_train: bool = True,
+                     normalize: bool = True) -> Callable:
+    """Byte -> array decoder using the host PIL pipeline (reference
+    my_decoder_kv, src/data.py:866-871).  ``normalize=False`` emits uint8
+    for the device-preprocess wire format (normalization happens in-graph
+    via transforms.device_normalize)."""
     from PIL import Image
 
     from keds_tpu.transforms import image_transform
 
-    tf = image_transform(n_px, is_train=is_train)
+    tf = image_transform(n_px, is_train=is_train, normalize=normalize)
 
     def decode(raw: bytes):
         return tf(Image.open(io.BytesIO(raw)))

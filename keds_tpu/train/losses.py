@@ -80,8 +80,13 @@ class RawBatch(NamedTuple):
 
 def encode_raw_batch(clip_params, cfg: mclip.ClipConfig, batch: RawBatch) -> TrainBatch:
     """Frozen-CLIP feature computation for raw batches, under stop_gradient
-    (the reference wraps this in torch.no_grad, src/trainer.py:48-52)."""
-    img = jax.lax.stop_gradient(mclip.encode_image(clip_params, cfg, batch.images))
+    (the reference wraps this in torch.no_grad, src/trainer.py:48-52).
+    uint8 images (the device-preprocess wire format) are normalized
+    in-graph; float images pass through unchanged."""
+    from keds_tpu.transforms import device_normalize
+
+    img = jax.lax.stop_gradient(
+        mclip.encode_image(clip_params, cfg, device_normalize(batch.images)))
     txt = jax.lax.stop_gradient(mclip.encode_text(clip_params, cfg, batch.caption_tokens))
     return TrainBatch(
         image_features=img.astype(jnp.float32),
