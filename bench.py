@@ -130,8 +130,10 @@ def main() -> None:
     # their lane-bound costs over 4x the queries (509 vs 496 q/s measured;
     # sweep in BENCH_NOTES).
     batch = args.batch or 128
-    if args.encode_chunk is None and args.batch is None:
-        args.encode_chunk = 32
+    if args.encode_chunk is None and batch > 32 and batch % 32 == 0:
+        args.encode_chunk = 32  # macro schedule; --encode-chunk 0 disables
+    if args.encode_chunk == 0:
+        args.encode_chunk = None
     db_rows = args.db_rows or (50_000 if quick else 500_000)
     iters = args.iters or (5 if quick else 15)
     dtype = jnp.bfloat16
@@ -190,6 +192,8 @@ def main() -> None:
         log(f"stage retrieval (1 modality, {db_rows} rows): xla {t_xla*1e3:.2f} ms, pallas {t_pal*1e3:.2f} ms")
 
     # --- headline: full composed-query pipeline ---------------------------
+    db_quant = retriever.quant_arrays()
+
     def composed(clip_params, heads, db_img, db_txt, images, text):
         chunk = args.encode_chunk
         B = images.shape[0]
@@ -202,7 +206,8 @@ def main() -> None:
         else:
             f = mclip.encode_image(clip_params, cfg, device_normalize(images))
         ti, tt = retriever.retrieve_features(
-            f.astype(jnp.float32), k=16, db_arrays=(db_img, db_txt)
+            f.astype(jnp.float32), k=16, db_arrays=(db_img, db_txt),
+            db_quant=db_quant,
         )
         tok = compose_pseudo_tokens(heads, f, ti.astype(f.dtype), tt.astype(f.dtype),
                                     train=False)

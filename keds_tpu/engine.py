@@ -95,10 +95,11 @@ class ComposedQueryEngine:
         retr = self.retriever
 
         @jax.jit
-        def _composed(cp, heads, db_img, db_txt, images, text):
+        def _composed(cp, heads, db_img, db_txt, db_quant, images, text):
             f = _enc_maybe_chunked(cp, images)
             ti, tt = retr.retrieve_features(
-                f.astype(jnp.float32), k=db_topk, db_arrays=(db_img, db_txt)
+                f.astype(jnp.float32), k=db_topk, db_arrays=(db_img, db_txt),
+                db_quant=db_quant,
             )
             tok = compose_pseudo_tokens(
                 heads, f, ti.astype(f.dtype), tt.astype(f.dtype), train=False
@@ -141,8 +142,9 @@ class ComposedQueryEngine:
         for im, tx in zip(image_batches, text_batches):
             xi, n = self._shard(jnp.asarray(im))
             xt, _ = self._shard(jnp.asarray(tx))
-            outs.append(self._composed(self.clip_c, self.heads, self.db.image_db,
-                                       self.db.text_db, xi, xt)[:n])
+            outs.append(self._composed(
+                self.clip_c, self.heads, self.db.image_db, self.db.text_db,
+                self.retriever.quant_arrays(), xi, xt)[:n])
         return np.concatenate([np.asarray(o.astype(jnp.float32)) for o in outs])
 
     def search(self, image_batches: Sequence, text_batches: Sequence,

@@ -79,6 +79,10 @@ def _flash_forward(q, k, v, causal: bool, interpret: bool, group: int | None = N
     Sp = _round_up(S, 128)
     scale = 1.0 / math.sqrt(D)
     G = group or _pick_group(B * H, Sp, D, q.dtype.itemsize)
+    if (B * H) % G:
+        raise ValueError(
+            f"flash_attention group={G} must divide batch*heads={B * H} "
+            "(a non-divisor would silently truncate the kernel grid)")
 
     def prep(x):
         x = x.reshape(B * H, S, D)

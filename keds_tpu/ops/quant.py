@@ -91,11 +91,20 @@ def quantize_clip_blocks(params: dict) -> dict:
     scans.  Inference only: the towers are frozen in this model family
     (reference src/main.py:160-166 freezes CLIP), so no gradient path is
     needed through the quantized weights."""
+    import logging
+
     out = dict(params)
     for tower in ("visual", "text"):
         if tower not in params:
             continue
         tw = dict(params[tower])
+        if "blocks" not in tw:
+            # ModifiedResNet visual towers have no transformer blocks —
+            # leave them unquantized (the text tower still converts).
+            logging.warning(
+                "quantize_clip_blocks: %r tower has no transformer blocks "
+                "(ResNet backbone?); leaving it unquantized", tower)
+            continue
         blocks = dict(tw["blocks"])
         for key in _BLOCK_GEMM_KEYS:
             blocks[key] = quantize_weight(blocks[key])

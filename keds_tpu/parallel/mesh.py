@@ -21,9 +21,16 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# The CLIs call maybe_init_distributed from both setup_experiment and
+# setup_runtime; jax.distributed.initialize is single-shot (and once the
+# backend exists, a repeat call raises a misleading 'must be called before
+# any JAX calls' error), so we guard with a process-level flag.
+_DIST_DONE = False
+
+
 def maybe_init_distributed(cfg=None) -> None:
     """Initialize multi-host JAX if we're on a multi-host platform.  Safe to
-    call unconditionally on a single host.
+    call unconditionally (and repeatedly) on any host.
 
     Two bring-up paths:
 
@@ -32,18 +39,27 @@ def maybe_init_distributed(cfg=None) -> None:
       (``src/main.py:113-119`` init_process_group with ``--dist-url`` +
       RANK/WORLD_SIZE env) mapped onto ``jax.distributed.initialize``.
     """
+    global _DIST_DONE
+    if _DIST_DONE:
+        return
     import os
 
     # NB: no jax.process_count()/jax.devices() probes before initialize —
     # they would eagerly create the local-only backend and poison the
     # distributed bring-up.
     def _init(**kwargs) -> bool:
+        global _DIST_DONE
         try:
             jax.distributed.initialize(**kwargs)
-        except RuntimeError as e:  # already initialized (idempotent call)
-            if "already" not in str(e).lower():
+        except RuntimeError as e:
+            # someone else initialized first: jax raises 'should only be
+            # called once' / '...already initialized' — treat as done
+            msg = str(e).lower()
+            if "already" not in msg and "only be called once" not in msg:
                 raise
+            _DIST_DONE = True
             return False
+        _DIST_DONE = True
         return True
 
     if any(k in os.environ for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")):

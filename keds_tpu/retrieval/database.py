@@ -169,8 +169,23 @@ class Retriever:
                     scale = jax.device_put(scale, NamedSharding(mesh, P(axis_name)))
                 self._int8[name] = (q8, scale)
 
+    def quant_arrays(self):
+        """The int8 index arrays ((img_q8, img_scale), (txt_q8, txt_scale)),
+        or None for non-int8 backends.  Jitted callers MUST thread this
+        through as traced arguments (like ``db_arrays``) — closed-over
+        arrays inline into the HLO as constants (rule 3: remote-compile
+        rejects the result), and object-identity modality checks are
+        meaningless on tracers."""
+        if self.backend != "int8":
+            return None
+        return (self._int8["image"], self._int8["text"])
+
     # -- low-level search ---------------------------------------------------
-    def search(self, queries: jax.Array, db_array: jax.Array, k: int):
+    def search(self, queries: jax.Array, db_array: jax.Array, k: int,
+               modality: str = "image", quant=None):
+        """``modality`` selects the int8 index when ``quant`` isn't passed
+        explicitly; identity of ``db_array`` is NOT used (it is a tracer
+        inside jit)."""
         interpret = self.interpret
         if self.backend == "pallas" and not interpret:
             # Mosaic kernels only compile for TPU; run interpreted elsewhere.
@@ -180,8 +195,7 @@ class Retriever:
                 pass
         n_real = len(self.db.names)  # sharding pads rows; names hold the truth
         if self.backend == "int8":
-            modality = "image" if db_array is self.db.image_db else "text"
-            q8, scale = self._int8[modality]
+            q8, scale = quant if quant is not None else self._int8[modality]
             if self.sharded:
                 return mips_topk_int8_sharded(
                     queries.astype(jnp.float32), q8, scale, k,
@@ -211,6 +225,7 @@ class Retriever:
         rng: Optional[jax.Array] = None,
         shuffle_image: bool = True,
         db_arrays: Optional[Tuple[jax.Array, jax.Array]] = None,
+        db_quant=None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Top-k image and caption neighbor features for each query
         (reference get_retrieved_features).  ``rng`` drives the image-side
@@ -220,24 +235,29 @@ class Retriever:
         ``db_arrays=(image_db, text_db)`` lets jitted callers pass the DB as
         traced *arguments* — required because closed-over arrays are embedded
         as HLO constants (gigabytes of proto; the axon remote-compile path
-        rejects them outright)."""
+        rejects them outright).  For the int8 backend, jitted callers must
+        likewise thread ``db_quant=Retriever.quant_arrays()``."""
         image_db, text_db = db_arrays if db_arrays is not None else (
             self.db.image_db, self.db.text_db
         )
+        quant_img, quant_txt = db_quant if db_quant is not None else (None, None)
         q = feature / jnp.linalg.norm(feature, axis=1, keepdims=True)
         q = q.astype(image_db.dtype)
-        _, img_idx = self.search(q, image_db, k)
+        _, img_idx = self.search(q, image_db, k, modality="image",
+                                 quant=quant_img)
         topk_img = self._gather(image_db, img_idx)
         if shuffle_image and rng is not None:
             perm = jax.random.permutation(rng, k)
             topk_img = topk_img[:, perm, :]
-        _, txt_idx = self.search(q, text_db, k)
+        _, txt_idx = self.search(q, text_db, k, modality="text",
+                                 quant=quant_txt)
         topk_txt = self._gather(text_db, txt_idx)
         return topk_img.astype(feature.dtype), topk_txt.astype(feature.dtype)
 
     def retrieve_caption_neighbors(
         self, feature: jax.Array, k: int = 2,
         text_db: Optional[jax.Array] = None,
+        text_quant=None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Top-k caption features + their row indices (reference
         get_extra_cap_features, src/trainer.py:262-283; the caller maps
@@ -246,7 +266,7 @@ class Retriever:
             text_db = self.db.text_db
         q = feature / jnp.linalg.norm(feature, axis=1, keepdims=True)
         q = q.astype(text_db.dtype)
-        _, idx = self.search(q, text_db, k)
+        _, idx = self.search(q, text_db, k, modality="text", quant=text_quant)
         return self._gather(text_db, idx).astype(feature.dtype), idx
 
     def names_for(self, idx: np.ndarray) -> List[str]:

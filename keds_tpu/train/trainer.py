@@ -15,7 +15,6 @@ Python in the hot loop and no host<->device traffic beyond input batches.
 from __future__ import annotations
 
 import logging
-import time
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -90,12 +89,13 @@ def make_train_step(
     # Keep logit_scale in f32 (it feeds the f32 logits).
     clip_c["logit_scale"] = jnp.asarray(clip_params["logit_scale"], jnp.float32)
     db_img, db_txt = retriever.db.image_db, retriever.db.text_db
+    db_quant = retriever.quant_arrays()  # int8 backend: traced args, rule 3
     if db_other_tokens is None:
         # static placeholder so the jit signature is uniform across streams
         db_other_tokens = jnp.zeros((1, prompt.shape[1]), jnp.int32)
 
     def loss_fn(heads: FusionHeads, batch, rng: jax.Array,
-                clip_c, db_img, db_txt, db_other):
+                clip_c, db_img, db_txt, db_other, db_quant):
         r_shuffle, r_drop = jax.random.split(rng)
         if isinstance(batch, RawBatch):
             # tar-streaming mode: frozen-CLIP encode on the fly, in-graph
@@ -103,7 +103,7 @@ def make_train_step(
         feats = batch.image_features
         topk_img, topk_txt = retriever.retrieve_features(
             feats, k=db_topk, rng=r_shuffle, shuffle_image=True,
-            db_arrays=(db_img, db_txt),
+            db_arrays=(db_img, db_txt), db_quant=db_quant,
         )
         if stream == "image":
             loss = image_stream_loss(
@@ -114,7 +114,8 @@ def make_train_step(
             caps = batch.caption_features
             caps_n = caps / jnp.linalg.norm(caps, axis=-1, keepdims=True)
             top2_feats, top2_idx = retriever.retrieve_caption_neighbors(
-                caps_n, k=2, text_db=db_txt
+                caps_n, k=2, text_db=db_txt,
+                text_quant=db_quant[1] if db_quant is not None else None,
             )
             top2_tokens = db_other[jnp.clip(top2_idx, 0, db_other.shape[0] - 1)]
             loss = text_stream_loss(
@@ -131,9 +132,9 @@ def make_train_step(
     # remote-compile backends) and defeat compile-cache reuse.
     @jax.jit
     def _step(heads, opt_state, batch: TrainBatch, rng: jax.Array,
-              clip_c, db_img, db_txt, db_other):
+              clip_c, db_img, db_txt, db_other, db_quant):
         grads, loss = jax.grad(loss_fn, has_aux=True)(
-            heads, batch, rng, clip_c, db_img, db_txt, db_other
+            heads, batch, rng, clip_c, db_img, db_txt, db_other, db_quant
         )
         updates, opt_state = optimizer.update(grads, opt_state, heads)
         heads = optax.apply_updates(heads, updates)
@@ -141,7 +142,7 @@ def make_train_step(
 
     def train_step(heads, opt_state, batch: TrainBatch, rng: jax.Array):
         return _step(heads, opt_state, batch, rng, clip_c, db_img, db_txt,
-                     db_other_tokens)
+                     db_other_tokens, db_quant)
 
     return train_step
 
@@ -209,5 +210,4 @@ def train_epoch(
         float(np.asarray(loss))
         jax.profiler.stop_trace()
         logging.info("profiler trace written to %s", profile_dir)
-        end = time.time()
     return heads, opt_state

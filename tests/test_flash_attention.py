@@ -106,3 +106,13 @@ def test_flash_auto_group_divides_bh():
         assert bh % g == 0
         # working set must respect the VMEM budget used for the choice
         assert 4 * g * sp * d * 2 * 2 + 2 * g * sp * sp * 4 <= 10 * 1024 * 1024 or g == 1
+
+
+def test_flash_group_must_divide_bh():
+    import jax
+
+    from keds_tpu.ops.attention import flash_attention
+
+    q = jax.random.normal(jax.random.key(0), (2, 4, 16, 32))
+    with pytest.raises(ValueError, match="divide"):
+        flash_attention(q, q, q, False, True, 3)

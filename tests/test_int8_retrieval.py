@@ -112,3 +112,35 @@ def test_sharded_pad_rows_cannot_win():
                                   n_real=9)
     assert (np.asarray(idx) < 9).all()
     assert (np.asarray(vals) < 0).all()
+
+
+def test_int8_backend_correct_under_jit_with_traced_db_args():
+    """Regression (round-2 review): inside jit the DB enters as tracers, so
+    the old object-identity modality dispatch silently used the TEXT index
+    for the IMAGE search.  With db_quant threaded as traced arguments, the
+    jitted results must equal the eager int8 results for BOTH modalities —
+    and the image/text neighbor sets must differ from each other."""
+    import jax
+
+    from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+
+    rng = np.random.default_rng(21)
+    # deliberately different image/text DBs so a modality mixup is visible
+    db_img = rng.standard_normal((256, 32)).astype(np.float32)
+    db_txt = -rng.standard_normal((256, 32)).astype(np.float32)
+    db = KnowledgeDB.from_arrays(db_img, db_txt, dtype=jnp.float32)
+    r = Retriever(db, backend="int8")
+    feats = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+
+    eager_i, eager_t = r.retrieve_features(feats, k=8, rng=None)
+
+    @jax.jit
+    def jitted(f, dbi, dbt, quant):
+        return r.retrieve_features(f, k=8, rng=None, db_arrays=(dbi, dbt),
+                                   db_quant=quant)
+
+    jit_i, jit_t = jitted(feats, db.image_db, db.text_db, r.quant_arrays())
+    np.testing.assert_allclose(np.asarray(jit_i), np.asarray(eager_i), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(jit_t), np.asarray(eager_t), rtol=1e-6)
+    assert not np.allclose(np.asarray(jit_i), np.asarray(jit_t)), \
+        "image and text neighbors identical — modality mixup"

@@ -25,6 +25,10 @@ from keds_tpu.parallel.mesh import make_mesh, maybe_init_distributed
 
 cfg = Config(distributed=True, dist_url=os.environ["TEST_DIST_URL"])
 maybe_init_distributed(cfg)
+# the CLIs call this from both setup_experiment and setup_runtime — the
+# second call must be a no-op, not a crash (jax raises 'should only be
+# called once' on repeat initialize)
+maybe_init_distributed(cfg)
 assert jax.process_count() == 2, jax.process_count()
 
 import jax.numpy as jnp

@@ -120,3 +120,17 @@ def test_ste_gradient_flows():
     assert np.isfinite(np.asarray(g_q)).all()
     cos = _cosine(np.asarray(g_q).ravel()[None], np.asarray(g_f).ravel()[None])
     assert cos[0] > 0.98, cos
+
+
+def test_quantize_clip_blocks_skips_resnet_visual(caplog):
+    """RN backbones have no visual transformer blocks: the visual tower is
+    left unquantized with a warning; the text tower still converts."""
+    import logging
+
+    params = mclip.init_clip(jax.random.key(10), CFG, dtype=jnp.float32)
+    params["visual"] = {"dummy_conv": params["visual"]["patch_w"]}
+    with caplog.at_level(logging.WARNING):
+        out = quantize_clip_blocks(params)
+    assert "unquantized" in caplog.text
+    assert "dummy_conv" in out["visual"]
+    assert isinstance(out["text"]["blocks"]["qkv_w"], dict)  # quantized
