@@ -142,10 +142,9 @@ def main() -> None:
     log(f"bench: devices={jax.devices()} batch={batch} db_rows={db_rows} iters={iters}"
         f" quant={args.quant} u8={args.u8}")
     clip_params, heads, db = ge._build(cfg, db_rows=db_rows, dtype=dtype)
-    if args.quant == "int8":
-        from keds_tpu.ops.quant import quantize_clip_blocks
+    from keds_tpu.ops.quant import maybe_quantize_clip
 
-        clip_params = quantize_clip_blocks(clip_params)
+    clip_params = maybe_quantize_clip(clip_params, args.quant)
     retriever = Retriever(db, backend=args.retrieval)
     rng = np.random.default_rng(0)
 
@@ -195,16 +194,8 @@ def main() -> None:
     db_quant = retriever.quant_arrays()
 
     def composed(clip_params, heads, db_img, db_txt, images, text):
-        chunk = args.encode_chunk
-        B = images.shape[0]
-        if chunk and B % chunk == 0 and B > chunk:
-            xs = images.reshape(B // chunk, chunk, *images.shape[1:])
-            f = jax.lax.map(
-                lambda im: mclip.encode_image(clip_params, cfg,
-                                              device_normalize(im)), xs)
-            f = f.reshape(B, f.shape[-1])
-        else:
-            f = mclip.encode_image(clip_params, cfg, device_normalize(images))
+        f = mclip.encode_image_chunked(clip_params, cfg, images,
+                                       args.encode_chunk)
         ti, tt = retriever.retrieve_features(
             f.astype(jnp.float32), k=16, db_arrays=(db_img, db_txt),
             db_quant=db_quant,

@@ -67,11 +67,10 @@ def main(argv=None) -> None:
     clip_params, ccfg, _, t_val = load_clip(
         clip_source, normalize_on_host=not cfg.device_preprocess)
     cast = lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a  # noqa: E731
-    clip_c = jax.tree.map(cast, clip_params)
-    if cfg.quant_towers == "int8":
-        from keds_tpu.ops.quant import quantize_clip_blocks
+    from keds_tpu.ops.quant import maybe_quantize_clip
 
-        clip_c = quantize_clip_blocks(clip_c)
+    clip_c = maybe_quantize_clip(jax.tree.map(cast, clip_params),
+                                 cfg.quant_towers)
 
     # img2text head from the checkpoint: CrossFormer -> late fusion,
     # MLP -> pic2word splice.

@@ -5,8 +5,8 @@ image -> top-16 bi-modality retrieval -> dual-stream fusion -> frozen
 text-tower compose -> rank against a corpus) as one jitted program with a
 pipelined dispatch loop: batches are dispatched back-to-back and results
 fetched afterwards, so per-dispatch host/tunnel gaps hide behind device
-execution (this is how bench.py's 494 q/s/chip headline is achieved; see
-BENCH_NOTES.md).
+execution — this is how bench.py's headline throughput is achieved (current
+numbers and schedules in BENCH_NOTES.md).
 
     engine = ComposedQueryEngine(clip_params, cfg, heads, db)
     corpus = engine.encode_corpus(image_batches)          # (N, D) unit-norm
@@ -55,11 +55,10 @@ class ComposedQueryEngine:
         cast = lambda a: jnp.asarray(a, compute_dtype) if jnp.issubdtype(  # noqa: E731
             np.asarray(a).dtype, np.floating) else jnp.asarray(a)
         self.cfg = cfg
-        self.clip_c = jax.tree.map(cast, clip_params)
-        if quant_towers == "int8":
-            from keds_tpu.ops.quant import quantize_clip_blocks
+        from keds_tpu.ops.quant import maybe_quantize_clip
 
-            self.clip_c = quantize_clip_blocks(self.clip_c)
+        self.clip_c = maybe_quantize_clip(jax.tree.map(cast, clip_params),
+                                          quant_towers)
         self.heads = jax.tree.map(cast, heads)
         self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
         if self.mesh is not None:
@@ -73,19 +72,12 @@ class ComposedQueryEngine:
         self.db_topk = db_topk
         split_id = star_token_id()
 
-        from keds_tpu.transforms import device_normalize
+        # chunking reshapes the batch axis, so it is disabled when batches
+        # are sharded over the mesh
+        chunk = None if self.mesh is not None else encode_chunk
 
         def _enc_maybe_chunked(cp, images):
-            B = images.shape[0]
-            if (encode_chunk and B > encode_chunk and B % encode_chunk == 0
-                    and self.mesh is None):
-                xs = images.reshape(B // encode_chunk, encode_chunk,
-                                    *images.shape[1:])
-                f = jax.lax.map(
-                    lambda im: mclip.encode_image(cp, cfg, device_normalize(im)),
-                    xs)
-                return f.reshape(B, f.shape[-1])
-            return mclip.encode_image(cp, cfg, device_normalize(images))
+            return mclip.encode_image_chunked(cp, cfg, images, chunk)
 
         @jax.jit
         def _encode(cp, images):
@@ -111,18 +103,11 @@ class ComposedQueryEngine:
         self._composed = _composed
 
     def _shard(self, x: jax.Array):
-        """Pad a batch to the mesh axis and place it sharded; returns the
-        (possibly padded) array and the real row count."""
         if self.mesh is None:
             return x, x.shape[0]
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from keds_tpu.parallel.mesh import shard_batch
 
-        n = x.shape[0]
-        w = self.mesh.shape["data"]
-        pad = (-n) % w
-        if pad:
-            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-        return jax.device_put(x, NamedSharding(self.mesh, P("data"))), n
+        return shard_batch(self.mesh, x)
 
     # -- corpus -------------------------------------------------------------
     def encode_corpus(self, image_batches: Iterable) -> np.ndarray:

@@ -100,11 +100,10 @@ class EvalContext:
         from keds_tpu.transforms import device_normalize
 
         cast = lambda a: jnp.asarray(a, self.compute_dtype) if jnp.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a)  # noqa: E731
-        self.clip_c = jax.tree.map(cast, self.clip_params)
-        if self.quant_towers == "int8":
-            from keds_tpu.ops.quant import quantize_clip_blocks
+        from keds_tpu.ops.quant import maybe_quantize_clip
 
-            self.clip_c = quantize_clip_blocks(self.clip_c)
+        self.clip_c = maybe_quantize_clip(jax.tree.map(cast, self.clip_params),
+                                          self.quant_towers)
         self.split_id = star_token_id()
         # CLIP params are jit arguments, not closures (closure constants are
         # inlined into the HLO; remote-compile backends reject the result).
@@ -122,16 +121,9 @@ class EvalContext:
         return self._encode_text(self.clip_c, jnp.asarray(text))
 
     def _shard_batch(self, x: jax.Array):
-        """Pad the batch to the mesh axis and place it sharded; returns the
-        (possibly padded) array and the real row count."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from keds_tpu.parallel.mesh import shard_batch
 
-        n = x.shape[0]
-        w = self.mesh.shape["data"]
-        pad = (-n) % w
-        if pad:
-            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-        return jax.device_put(x, NamedSharding(self.mesh, P("data"))), n
+        return shard_batch(self.mesh, x)
 
     # -- cached query-side precomputation -----------------------------------
     def image_features(self, images) -> jax.Array:

@@ -133,11 +133,9 @@ def torch_opt_state_to_optax(payload: dict, heads: FusionHeads,
 
     # Fill any missing names with zeros from the template (torch lazily
     # creates state on first update).
-    mu_template = None
-    for s in jax.tree.leaves(template_state, is_leaf=lambda x: hasattr(x, "mu")):
-        if hasattr(s, "mu"):
-            mu_template = s.mu
-            break
+    mu_template = next(
+        (s.mu for s in template_state if "mu" in getattr(s, "_fields", ())),
+        None)
     if mu_template is None:
         logging.warning("template optax state has no Adam moments; skipping")
         return template_state
@@ -176,11 +174,8 @@ def optax_opt_state_to_torch(opt_state, heads: FusionHeads, *,
                              eps: float, wd: float) -> dict:
     """Export optax adamw moments as a torch ``AdamW.state_dict()`` payload
     (reference layout: group 0 = no-decay gain/bias, group 1 = decayed)."""
-    adam = None
-    for s in opt_state:
-        if hasattr(s, "mu") and hasattr(s, "nu"):
-            adam = s
-            break
+    adam = next(
+        (s for s in opt_state if "mu" in getattr(s, "_fields", ())), None)
     if adam is None:
         raise ValueError("opt_state carries no Adam moments")
     step = int(np.asarray(adam.count))

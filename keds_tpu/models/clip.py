@@ -205,6 +205,24 @@ def encode_image(params: dict, cfg: ClipConfig, images: jax.Array) -> jax.Array:
     return jnp.dot(cls, v["proj"].astype(cls.dtype))
 
 
+def encode_image_chunked(params: dict, cfg: ClipConfig, images: jax.Array,
+                         chunk: Optional[int] = None) -> jax.Array:
+    """encode_image over the batch in ``chunk``-sized pieces via lax.map —
+    the macro-batch schedule: encode peaks at b32 on v5e while downstream
+    retrieval/text-tower utilization grows with batch (BENCH_NOTES.md).
+    uint8 inputs are normalized in-graph.  Falls back to one shot when
+    ``chunk`` is None or doesn't divide the batch."""
+    from keds_tpu.transforms import device_normalize
+
+    B = images.shape[0]
+    if chunk and B > chunk and B % chunk == 0:
+        xs = images.reshape(B // chunk, chunk, *images.shape[1:])
+        f = jax.lax.map(
+            lambda im: encode_image(params, cfg, device_normalize(im)), xs)
+        return f.reshape(B, f.shape[-1])
+    return encode_image(params, cfg, device_normalize(images))
+
+
 def encode_image_tokens(params: dict, cfg: ClipConfig, images: jax.Array) -> jax.Array:
     """Full post-transformer token sequence (reference ``VisualTransformer.
     get_tokens``, model.py:418-428): (B, 1+N, vw), no post-LN/projection."""

@@ -28,10 +28,12 @@ int8 mode; this is a TPU-native capability on top of parity.
 
 from __future__ import annotations
 
+import logging
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Pytree key layout of a quantized linear: {"q": int8 (..., d_in, d_out),
 # "s": f32 (..., 1, d_out)}.  Leading axes (the lax.scan layer axis) are
@@ -91,8 +93,6 @@ def quantize_clip_blocks(params: dict) -> dict:
     scans.  Inference only: the towers are frozen in this model family
     (reference src/main.py:160-166 freezes CLIP), so no gradient path is
     needed through the quantized weights."""
-    import logging
-
     out = dict(params)
     for tower in ("visual", "text"):
         if tower not in params:
@@ -111,6 +111,16 @@ def quantize_clip_blocks(params: dict) -> dict:
         tw["blocks"] = blocks
         out[tower] = tw
     return out
+
+
+def maybe_quantize_clip(params: dict, mode: str) -> dict:
+    """Config-level entry: ``mode`` is the --quant-towers value
+    ('none' | 'int8').  Single dispatch point for every CLI/engine."""
+    if mode == "int8":
+        return quantize_clip_blocks(params)
+    if mode not in (None, "", "none"):
+        raise ValueError(f"unknown --quant-towers mode {mode!r}")
+    return params
 
 
 @jax.custom_vjp
@@ -140,10 +150,7 @@ def _i8_affine_bwd(res, g):
         g.astype(jnp.float32), w_deq,
         (((g.ndim - 1,), (1,)), ((), ())),
     ).astype(x_proto.dtype)
-    import numpy as _np
-
-    f0 = jax.dtypes.float0
-    return dx, _np.zeros(q.shape, f0), jnp.zeros_like(s)
+    return dx, np.zeros(q.shape, jax.dtypes.float0), jnp.zeros_like(s)
 
 
 _i8_affine.defvjp(_i8_affine_fwd, _i8_affine_bwd)

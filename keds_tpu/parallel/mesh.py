@@ -98,6 +98,19 @@ def make_mesh(num_devices: int = 0, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def shard_batch(mesh: Mesh, x, axis_name: str = "data"):
+    """Pad a batch to a multiple of the mesh axis (repeating the last row)
+    and place it sharded on that axis; returns (padded_array, real_count)."""
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    w = mesh.shape[axis_name]
+    pad = (-n) % w
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+    return jax.device_put(x, NamedSharding(mesh, P(axis_name))), n
+
+
 def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Batch-dim sharding for input arrays."""
     return NamedSharding(mesh, P(axis_name))
