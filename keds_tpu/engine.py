@@ -86,9 +86,17 @@ class ComposedQueryEngine:
 
         retr = self.retriever
 
+        # The composed query runs as TWO programs per batch — encode, then
+        # retrieval+fusion+compose — with the features staying on device
+        # between them.  Fusing everything into one program measures ~15%
+        # SLOWER on v5e (XLA's schedule for the merged HLO loses prefetch
+        # overlap; 251 vs 216 ms per 128-query macro batch, BENCH_NOTES.md).
         @jax.jit
-        def _composed(cp, heads, db_img, db_txt, db_quant, images, text):
-            f = _enc_maybe_chunked(cp, images)
+        def _enc_feats(cp, images):
+            return _enc_maybe_chunked(cp, images)
+
+        @jax.jit
+        def _rest(cp, heads, db_img, db_txt, db_quant, f, text):
             ti, tt = retr.retrieve_features(
                 f.astype(jnp.float32), k=db_topk, db_arrays=(db_img, db_txt),
                 db_quant=db_quant,
@@ -100,7 +108,8 @@ class ComposedQueryEngine:
             return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
 
         self._encode = _encode
-        self._composed = _composed
+        self._enc_feats = _enc_feats
+        self._rest = _rest
 
     def _shard(self, x: jax.Array):
         if self.mesh is None:
@@ -123,13 +132,15 @@ class ComposedQueryEngine:
     def compose(self, image_batches: Sequence, text_batches: Sequence) -> np.ndarray:
         """Composed query features for (reference image, prompt-with-*) pairs,
         pipelined across batches."""
+        quant = self.retriever.quant_arrays()
         outs = []
         for im, tx in zip(image_batches, text_batches):
             xi, n = self._shard(jnp.asarray(im))
             xt, _ = self._shard(jnp.asarray(tx))
-            outs.append(self._composed(
+            f = self._enc_feats(self.clip_c, xi)
+            outs.append(self._rest(
                 self.clip_c, self.heads, self.db.image_db, self.db.text_db,
-                self.retriever.quant_arrays(), xi, xt)[:n])
+                quant, f, xt)[:n])
         return np.concatenate([np.asarray(o.astype(jnp.float32)) for o in outs])
 
     def search(self, image_batches: Sequence, text_batches: Sequence,
