@@ -121,7 +121,6 @@ def main() -> None:
     from keds_tpu.models.composition import compose_pseudo_tokens
     from keds_tpu.ops.topk import mips_topk, mips_topk_fused
     from keds_tpu.retrieval.database import Retriever
-    from keds_tpu.transforms import device_normalize
     import __graft_entry__ as ge
 
     quick = args.quick
@@ -166,7 +165,8 @@ def main() -> None:
     if args.stages:
         @jax.jit
         def enc_tp(cp, im):
-            return jnp.sum(mclip.encode_image(cp, cfg, device_normalize(im)))
+            return jnp.sum(mclip.encode_image_chunked(cp, cfg, im,
+                                                      args.encode_chunk))
 
         enc_inputs = [make_images(rng) for _ in range(iters)]
         t_enc = timeit_pipelined(lambda im: enc_tp(clip_params, im), enc_inputs)
