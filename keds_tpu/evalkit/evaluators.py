@@ -97,10 +97,9 @@ class EvalContext:
     _jit_cache: dict = field(default_factory=dict)
 
     def __post_init__(self):
-        from keds_tpu.transforms import device_normalize
+        from keds_tpu.ops.quant import maybe_quantize_clip
 
         cast = lambda a: jnp.asarray(a, self.compute_dtype) if jnp.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a)  # noqa: E731
-        from keds_tpu.ops.quant import maybe_quantize_clip
 
         self.clip_c = maybe_quantize_clip(jax.tree.map(cast, self.clip_params),
                                           self.quant_towers)
@@ -109,9 +108,13 @@ class EvalContext:
         # inlined into the HLO; remote-compile backends reject the result).
         # uint8 batches (the device-preprocess wire format) are normalized
         # in-graph; float batches trace to the identical pre-u8 program.
+        # Encode runs in b32 chunks when the batch divides (the macro-batch
+        # schedule, BENCH_NOTES; disabled under a mesh — chunking reshapes
+        # the sharded batch axis).
         cfg = self.cfg
+        chunk = None if self.mesh is not None else 32
         self._encode_image = jax.jit(
-            lambda cp, imgs: mclip.encode_image(cp, cfg, device_normalize(imgs))
+            lambda cp, imgs: mclip.encode_image_chunked(cp, cfg, imgs, chunk)
         )
         self._encode_text = jax.jit(
             lambda cp, text: mclip.encode_text(cp, cfg, text)
