@@ -4,7 +4,10 @@ Headline: **composed queries / sec / chip** on the flagship pipeline
 (BASELINE.json config 3): CLIP ViT-L/14 image encode -> top-16 MIPS retrieval
 over the 0.5M x 768 bi-modality knowledge DB -> dual-stream fusion -> frozen
 text-tower compose.  This is the reference's core inference primitive
-(SURVEY.md §3.5), fully jitted in bf16.
+(SURVEY.md §3.5), jitted in bf16 under the round-2 serving schedule: a
+128-query macro batch runs as TWO programs — chunked-b32 encode, then
+retrieval+fusion+compose — with features staying on device (the fused
+single program measures ~15% slower; BENCH_NOTES.md).
 
 ``vs_baseline`` divides by an analytic estimate of the reference
 PyTorch+Faiss pipeline on one A100 — the repo publishes no numbers
@@ -129,8 +132,9 @@ def main() -> None:
     # their lane-bound costs over 4x the queries (509 vs 496 q/s measured;
     # sweep in BENCH_NOTES).
     batch = args.batch or 128
-    if args.encode_chunk is None and batch > 32 and batch % 32 == 0:
-        args.encode_chunk = 32  # macro schedule; --encode-chunk 0 disables
+    _chunk = mclip.DEFAULT_ENCODE_CHUNK
+    if args.encode_chunk is None and batch > _chunk and batch % _chunk == 0:
+        args.encode_chunk = _chunk  # macro schedule; --encode-chunk 0 disables
     if args.encode_chunk == 0:
         args.encode_chunk = None
     db_rows = args.db_rows or (50_000 if quick else 500_000)
@@ -191,23 +195,29 @@ def main() -> None:
         log(f"stage retrieval (1 modality, {db_rows} rows): xla {t_xla*1e3:.2f} ms, pallas {t_pal*1e3:.2f} ms")
 
     # --- headline: full composed-query pipeline ---------------------------
+    # The int8 index (when --retrieval int8) is threaded as jit ARGUMENTS
+    # like the DB itself — rule 3: closed-over arrays inline into the HLO
+    # and the remote-compile path rejects the result.
     db_quant = retriever.quant_arrays()
 
-    def composed(clip_params, heads, db_img, db_txt, images, text):
-        f = mclip.encode_image_chunked(clip_params, cfg, images,
-                                       args.encode_chunk)
+    def rest_body(clip_params, heads, db_img, db_txt, dbq, f, text):
+        """retrieval+fusion+compose tail, shared by the fused latency
+        program and the two-program throughput pipeline."""
         ti, tt = retriever.retrieve_features(
             f.astype(jnp.float32), k=16, db_arrays=(db_img, db_txt),
-            db_quant=db_quant,
+            db_quant=dbq,
         )
-        tok = compose_pseudo_tokens(heads, f, ti.astype(f.dtype), tt.astype(f.dtype),
-                                    train=False)
-        out = mclip.encode_text_img_retrieval(clip_params, cfg, text, tok, split_id=265)
+        tok = compose_pseudo_tokens(heads, f, ti.astype(f.dtype),
+                                    tt.astype(f.dtype), train=False)
+        out = mclip.encode_text_img_retrieval(clip_params, cfg, text, tok,
+                                              split_id=265)
         return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
 
     @jax.jit
-    def composed_latency_step(clip_params, heads, db_img, db_txt, images, text):
-        out = composed(clip_params, heads, db_img, db_txt, images, text)
+    def composed_latency_step(clip_params, heads, db_img, db_txt, dbq, images, text):
+        f = mclip.encode_image_chunked(clip_params, cfg, images,
+                                       args.encode_chunk)
+        out = rest_body(clip_params, heads, db_img, db_txt, dbq, f, text)
         return images + (jnp.sum(out) * 1e-30).astype(images.dtype)
 
     # Two-program serving pipeline (the engine's schedule): encode program,
@@ -220,21 +230,12 @@ def main() -> None:
                                           args.encode_chunk)
 
     @jax.jit
-    def rest_prog(clip_params, heads, db_img, db_txt, f, text):
-        ti, tt = retriever.retrieve_features(
-            f.astype(jnp.float32), k=16, db_arrays=(db_img, db_txt),
-            db_quant=db_quant,
-        )
-        tok = compose_pseudo_tokens(heads, f, ti.astype(f.dtype),
-                                    tt.astype(f.dtype), train=False)
-        out = mclip.encode_text_img_retrieval(clip_params, cfg, text, tok,
-                                              split_id=265)
-        out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
-        return jnp.sum(out)
+    def rest_prog(clip_params, heads, db_img, db_txt, dbq, f, text):
+        return jnp.sum(rest_body(clip_params, heads, db_img, db_txt, dbq, f, text))
 
     t_lat = timeit_chain(
         lambda im: composed_latency_step(clip_params, heads, db.image_db,
-                                         db.text_db, im, text),
+                                         db.text_db, db_quant, im, text),
         images, max(iters // 2, 3),
     )
     log(f"composed query latency (chained, fused program): {t_lat*1e3:.2f} ms/batch")
@@ -243,7 +244,8 @@ def main() -> None:
 
     def two_prog(im):
         f = enc_prog(clip_params, im)
-        return rest_prog(clip_params, heads, db.image_db, db.text_db, f, text)
+        return rest_prog(clip_params, heads, db.image_db, db.text_db,
+                         db_quant, f, text)
 
     t = timeit_pipelined(two_prog, batch_inputs)
     qps = batch / t

@@ -40,7 +40,7 @@ class ComposedQueryEngine:
         compute_dtype=jnp.bfloat16,
         quant_towers: str = "none",
         mesh: Optional[jax.sharding.Mesh] = None,
-        encode_chunk: Optional[int] = 32,
+        encode_chunk: Optional[int] = mclip.DEFAULT_ENCODE_CHUNK,
     ):
         """``mesh``: shard query/corpus batches over the 'data' axis (params
         and DB replicated unless a sharded retriever is passed) — the

@@ -112,7 +112,7 @@ class EvalContext:
         # schedule, BENCH_NOTES; disabled under a mesh — chunking reshapes
         # the sharded batch axis).
         cfg = self.cfg
-        chunk = None if self.mesh is not None else 32
+        chunk = None if self.mesh is not None else mclip.DEFAULT_ENCODE_CHUNK
         self._encode_image = jax.jit(
             lambda cp, imgs: mclip.encode_image_chunked(cp, cfg, imgs, chunk)
         )

@@ -205,6 +205,12 @@ def encode_image(params: dict, cfg: ClipConfig, images: jax.Array) -> jax.Array:
     return jnp.dot(cls, v["proj"].astype(cls.dtype))
 
 
+# Measured-optimal encode chunk for the macro-batch schedule on v5e
+# (BENCH_NOTES.md sweep) — shared by bench, engine, evaluators and the
+# feature-extraction tool so a future hardware re-sweep updates one place.
+DEFAULT_ENCODE_CHUNK = 32
+
+
 def encode_image_chunked(params: dict, cfg: ClipConfig, images: jax.Array,
                          chunk: Optional[int] = None) -> jax.Array:
     """encode_image over the batch in ``chunk``-sized pieces via lax.map —

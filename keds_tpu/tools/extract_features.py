@@ -76,7 +76,8 @@ def main(argv=None) -> None:
     # chunked encode: b32 chunks inside one program — the macro-batch
     # schedule measures 659 img/s vs 631 flat for ViT-L on v5e (BENCH_NOTES)
     enc_img = jax.jit(
-        lambda cp, im: mclip.encode_image_chunked(cp, cfg, im, 32))
+        lambda cp, im: mclip.encode_image_chunked(cp, cfg, im,
+                                                  mclip.DEFAULT_ENCODE_CHUNK))
     enc_txt = jax.jit(lambda cp, tt: mclip.encode_text(cp, cfg, tt))
 
     os.makedirs(args.out, exist_ok=True)
