@@ -127,3 +127,49 @@ def test_engine_chunked_encode_matches_unchunked():
                                e_plain.encode_corpus(imgs), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(e_chunk.compose(imgs, [text]),
                                e_plain.compose(imgs, [text]), rtol=1e-5, atol=1e-5)
+
+
+def test_engine_compose_matches_manual_pipeline():
+    """The two-program engine schedule must be mathematically identical to a
+    manually composed encode->retrieve->fuse->text pipeline."""
+    import jax
+
+    from keds_tpu.engine import ComposedQueryEngine
+    from keds_tpu.models import clip as mclip, heads as mheads
+    from keds_tpu.models.composition import FusionHeads, compose_pseudo_tokens
+    from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+    from keds_tpu.tokenizer import star_token_id
+
+    D = 64
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=2,
+    )
+    params = mclip.init_clip(jax.random.key(3), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(4), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, D, 48, D),
+        retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+    )
+    rng = np.random.default_rng(5)
+    db = KnowledgeDB.from_arrays(rng.standard_normal((64, D)),
+                                 rng.standard_normal((64, D)), dtype=jnp.float32)
+    eng = ComposedQueryEngine(params, cfg, heads, db,
+                              compute_dtype=jnp.float32, db_topk=8,
+                              encode_chunk=4)
+    imgs = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    text = np.zeros((8, 77), np.int32)
+    text[:, :8] = [49406, 320, 1125, 539, 265, 267, 1929, 49407]
+    got = eng.compose([imgs], [text])
+
+    # manual single-shot pipeline (no chunking, no program split)
+    f = mclip.encode_image(eng.clip_c, cfg, jnp.asarray(imgs))
+    ti, tt = Retriever(db).retrieve_features(f.astype(jnp.float32), k=8, rng=None)
+    tok = compose_pseudo_tokens(eng.heads, f, ti.astype(f.dtype),
+                                tt.astype(f.dtype), train=False)
+    out = mclip.encode_text_img_retrieval(eng.clip_c, cfg, jnp.asarray(text),
+                                          tok, split_id=star_token_id())
+    want = np.asarray(out / jnp.linalg.norm(out, axis=-1, keepdims=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
