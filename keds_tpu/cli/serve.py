@@ -1,0 +1,118 @@
+"""Batch serving CLI — rank a corpus for a file of composed queries.
+
+The reference has no serving entry point beyond the single-query demo
+(``src/demo.py``); this CLI exposes :class:`keds_tpu.engine.
+ComposedQueryEngine` (the bench headline pipeline: two programs per
+macro batch, chunked encode, optional int8 towers / approx-ANN retrieval /
+mesh sharding) as a production batch server:
+
+    python -m keds_tpu.cli.serve \
+        --resume <ckpt.pt> --database-path <db> \
+        --target-data <corpus image dir> \
+        --query_file queries.jsonl --demo-out results.jsonl
+
+``queries.jsonl``: one ``{"image": <path>, "text": "<prompt with *>"}`` per
+line.  Output: one ``{"query", "text", "results": [{"name", "score"}, ...]}``
+per line, plus a throughput summary on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+
+
+def main(argv=None) -> None:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from keds_tpu.cli.common import (
+        compute_dtype,
+        load_database,
+        setup_experiment,
+        setup_runtime,
+    )
+    from keds_tpu.config import parse_args
+    from keds_tpu.data.datasets import CustomFolder
+    from keds_tpu.data.loader import DataLoader
+    from keds_tpu.engine import ComposedQueryEngine
+    from keds_tpu.io.checkpoint import load_heads_checkpoint
+    from keds_tpu.models.loader import load_clip
+    from keds_tpu.tokenizer import tokenize
+
+    cfg = parse_args(argv)
+    cfg = setup_experiment(cfg, require_fresh=False)
+    mesh = setup_runtime(cfg)
+    if not cfg.resume:
+        raise SystemExit("--resume <checkpoint.pt> is required (heads + CLIP)")
+    if not cfg.target_data:
+        raise SystemExit("--target-data <corpus image dir> is required")
+    if not cfg.query_file:
+        raise SystemExit("--query_file <queries.jsonl> is required")
+
+    clip_params, clip_cfg, _, t_val = load_clip(
+        cfg.resume, target_pad=1.25 if cfg.target_pad else None,
+        normalize_on_host=not cfg.device_preprocess,
+    )
+    heads, _ = load_heads_checkpoint(cfg.resume)
+    retriever = load_database(cfg, mesh)
+    engine = ComposedQueryEngine(
+        clip_params, clip_cfg, heads, retriever.db,
+        retriever=retriever, db_topk=cfg.db_topk,
+        compute_dtype=compute_dtype(cfg),
+        quant_towers=cfg.quant_towers,
+        mesh=mesh if mesh.devices.size > 1 else None,
+    )
+
+    # ---- corpus ------------------------------------------------------------
+    corpus_ds = CustomFolder(cfg.target_data, transform=t_val)
+    loader = DataLoader(corpus_ds, cfg.batch_size, num_workers=cfg.workers,
+                        worker_processes=cfg.worker_processes)
+    t0 = time.time()
+    parts, names = [], []
+    for images, paths in loader:
+        parts.append(images)
+        names.extend(os.path.basename(p) for p in paths)
+    corpus = engine.encode_corpus(parts)
+    logging.info("corpus: %d images encoded in %.1fs", len(names), time.time() - t0)
+
+    # ---- queries (macro batches) -------------------------------------------
+    from PIL import Image
+
+    with open(cfg.query_file) as f:
+        queries = [json.loads(line) for line in f if line.strip()]
+    out_path = cfg.demo_out if cfg.demo_out.endswith(".jsonl") else (
+        cfg.demo_out + ".jsonl")
+    macro = cfg.batch_size
+    t0 = time.time()
+    n_done = 0
+    with open(out_path, "w") as out:
+        for lo in range(0, len(queries), macro):
+            chunk = queries[lo:lo + macro]
+            imgs = np.stack([
+                t_val(Image.open(q["image"])) for q in chunk
+            ])
+            text = tokenize([str(q.get("text", "a photo of *")) for q in chunk])
+            scores, idx = engine.search([imgs], [np.asarray(text)], corpus,
+                                        topn=min(10, len(names)))
+            for qi, q in enumerate(chunk):
+                out.write(json.dumps({
+                    "query": q["image"],
+                    "text": q.get("text", "a photo of *"),
+                    "results": [
+                        {"name": names[j], "score": float(scores[qi][r])}
+                        for r, j in enumerate(idx[qi])
+                    ],
+                }) + "\n")
+            n_done += len(chunk)
+    dt = time.time() - t0
+    logging.info("served %d composed queries in %.2fs (%.1f q/s incl. decode)",
+                 n_done, dt, n_done / max(dt, 1e-9))
+    print(out_path)
+
+
+if __name__ == "__main__":
+    main()

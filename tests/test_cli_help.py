@@ -5,6 +5,7 @@ import pytest
 
 @pytest.mark.parametrize("mod", [
     "keds_tpu.cli.main", "keds_tpu.cli.eval_retrieval", "keds_tpu.cli.demo",
+    "keds_tpu.cli.serve",
     "keds_tpu.tools.extract_features", "keds_tpu.tools.build_database",
     "keds_tpu.tools.extract_nouns",
 ])

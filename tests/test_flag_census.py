@@ -24,7 +24,6 @@ DOCUMENTED_INERT = {
     "use_debiased_sampler", "use_prefix",            # src/params.py only
     "imagenet_val", "imagenet_v2",                   # loaders built, never read
     "zeroshot_frequency", "regression_frequency", "C",  # open_clip eval heritage
-    "target_data",                                   # eval derives data from eval_mode
     # internal derived fields, not user flags:
     "rank",
 }

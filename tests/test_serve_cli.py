@@ -1,0 +1,79 @@
+"""Batch serving CLI (keds_tpu/cli/serve.py) end-to-end on synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytest.importorskip("torch")
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from keds_tpu.cli.serve import main as serve_main  # noqa: E402
+from keds_tpu.io.checkpoint import save_train_checkpoint  # noqa: E402
+from keds_tpu.io.pt import save_pt  # noqa: E402
+from keds_tpu.models import clip as mclip, heads as mheads  # noqa: E402
+from keds_tpu.models.composition import FusionHeads  # noqa: E402
+
+D = 64
+
+
+def test_serve_cli_end_to_end(tmp_path):
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=2,
+    )
+    clip_params = mclip.init_clip(jax.random.key(0), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, D, 48, D),
+        retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+    )
+    resume = str(tmp_path / "ckpt.pt")
+    save_train_checkpoint(resume, epoch=1, name="t", clip_params=clip_params,
+                          clip_cfg=cfg, heads=heads)
+    rng = np.random.default_rng(0)
+    db = tmp_path / "db"
+    db.mkdir()
+    save_pt(np.float32(rng.standard_normal((64, D))), str(db / "cc_image_databases.pt"))
+    save_pt(np.float32(rng.standard_normal((64, D))), str(db / "cc_text_databases.pt"))
+    (db / "database_names.txt").write_text("\n".join(f"n{i}" for i in range(64)))
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i in range(9):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            corpus / f"c{i}.png")
+    queries = tmp_path / "queries.jsonl"
+    qimg = str(corpus / "c0.png")
+    queries.write_text("\n".join(
+        json.dumps({"image": qimg, "text": f"make it {w} *"})
+        for w in ("red", "blue", "green")
+    ))
+
+    out = tmp_path / "results.jsonl"
+    serve_main([
+        "--resume", resume, "--database-path", str(db),
+        "--target-data", str(corpus), "--query_file", str(queries),
+        "--demo-out", str(out), "--batch-size", "4", "--db-topk", "4",
+        "--precision", "fp32", "--logs", str(tmp_path / "logs"),
+        "--name", "serve", "--no-time-suffix",
+    ])
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 3
+    for rec in lines:
+        assert rec["query"] == qimg
+        assert len(rec["results"]) == 9
+        names = [r["name"] for r in rec["results"]]
+        assert set(names) <= {f"c{i}.png" for i in range(9)}
+        scores = [r["score"] for r in rec["results"]]
+        assert scores == sorted(scores, reverse=True)
+    # different prompts must produce different rankings or scores
+    assert any(lines[0]["results"][i]["score"] != lines[1]["results"][i]["score"]
+               for i in range(9))
