@@ -134,6 +134,7 @@ def main(argv=None) -> None:
             train_num_samples=cfg.train_num_samples or 2_803_766,
             resampled=cfg.dataset_resampled,
             upsampling_factors=cfg.train_data_upsampling_factors,
+            workers=cfg.workers,
         )
         dataset = None
     else:

@@ -135,6 +135,7 @@ class TarShardDataset:
         partial_batches: bool = False,
         resampled: bool = False,
         upsampling_factors: Optional[str | Sequence[float]] = None,
+        workers: int = 0,
     ):
         """``urls`` may name several ``::``-separated sources (open_clip
         convention inherited by the reference flag surface).
@@ -186,6 +187,7 @@ class TarShardDataset:
         self.rank = rank
         self.world_size = world_size
         self.partial_batches = partial_batches
+        self.workers = workers
         self.epoch = 0
         global_batch = batch_size * world_size
         self.num_batches = train_num_samples // global_batch
@@ -239,14 +241,36 @@ class TarShardDataset:
             cap = self.tokenize([str(cap)])[0]
         return img, cap
 
+    def _decoded(self) -> Iterator[Optional[tuple]]:
+        """Decoded sample stream.  With ``workers`` > 0, decode runs in a
+        thread pool with a bounded in-flight window, order-preserving — the
+        analog of the reference's dataloader worker decode
+        (src/data.py:839-863); serial decode would starve the jitted step
+        ~7:1 at ViT-L raw-training rates."""
+        if self.workers <= 0:
+            for sample in self._samples():
+                yield self._decode(sample)
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = max(2 * self.batch_size, 4 * self.workers)
+        with ThreadPoolExecutor(self.workers) as pool:
+            inflight: collections.deque = collections.deque()
+            for sample in self._samples():
+                inflight.append(pool.submit(self._decode, sample))
+                if len(inflight) >= window:
+                    yield inflight.popleft().result()
+            while inflight:
+                yield inflight.popleft().result()
+
     def __iter__(self) -> Iterator[tuple]:
         images: List = []
         caps: List = []
         produced = 0
-        for sample in self._samples():
+        for out in self._decoded():
             if produced >= self.num_batches:
                 return
-            out = self._decode(sample)
             if out is None:
                 continue
             images.append(out[0])

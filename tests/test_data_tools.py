@@ -291,3 +291,31 @@ def test_tar_upsampling_requires_resampled(tmp_path):
 def test_tar_upsampling_factor_count_mismatch(tmp_path):
     with pytest.raises(ValueError, match="2 sources"):
         _resampled_ds(tmp_path, resampled=True, upsampling_factors="1::2::3")
+
+
+def test_tar_parallel_decode_matches_serial(tmp_path):
+    """workers>0 decodes in a thread pool but must preserve order exactly."""
+    rng = np.random.default_rng(9)
+    n_per = 8
+    for s in range(3):
+        _write_shard(
+            str(tmp_path / f"p-0000{s}.tar"),
+            [(f"p{s}_{i}", rng.integers(0, 255, (4, 4), dtype=np.uint8))
+             for i in range(n_per)],
+        )
+
+    def decode(raw):
+        return np.frombuffer(raw, dtype=np.uint8).reshape(4, 4).astype(np.float32)
+
+    caps = {f"p{s}_{i}": f"c {s} {i}" for s in range(3) for i in range(n_per)}
+    mk = lambda w: TarShardDataset(  # noqa: E731
+        str(tmp_path / "p-{00000..00002}.tar"), batch_size=4,
+        decode_image=decode, caption_map=caps,
+        tokenize=lambda ts: np.asarray([[len(t)] for t in ts], np.int32),
+        shuffle_buffer=8, train_num_samples=24, workers=w)
+    serial = list(mk(0))
+    parallel = list(mk(3))
+    assert len(serial) == len(parallel) == 6
+    for (ia, ta), (ib, tb) in zip(serial, parallel):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ta, tb)
