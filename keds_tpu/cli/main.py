@@ -135,6 +135,7 @@ def main(argv=None) -> None:
             resampled=cfg.dataset_resampled,
             upsampling_factors=cfg.train_data_upsampling_factors,
             workers=cfg.workers,
+            worker_processes=cfg.worker_processes,
         )
         dataset = None
     else:

@@ -67,19 +67,36 @@ def main(argv=None) -> None:
         mesh=mesh if mesh.devices.size > 1 else None,
     )
 
-    # ---- corpus ------------------------------------------------------------
+    def _pad(arr: "np.ndarray", n: int) -> "np.ndarray":
+        """Pad the leading dim up to ``n`` by repeating the last row — ragged
+        tail batches would otherwise compile a fresh program per shape
+        (~minutes each through a remote-compile tunnel)."""
+        if arr.shape[0] >= n:
+            return arr
+        reps = np.repeat(arr[-1:], n - arr.shape[0], axis=0)
+        return np.concatenate([arr, reps], axis=0)
+
+    # ---- corpus (streamed: one batch in flight, never materialized) -------
     corpus_ds = CustomFolder(cfg.target_data, transform=t_val)
     loader = DataLoader(corpus_ds, cfg.batch_size, num_workers=cfg.workers,
                         worker_processes=cfg.worker_processes)
     t0 = time.time()
-    parts, names = [], []
-    for images, paths in loader:
-        parts.append(images)
-        names.extend(os.path.basename(p) for p in paths)
-    corpus = engine.encode_corpus(parts)
+    names: list = []
+
+    def corpus_batches():
+        for images, paths in loader:
+            names.extend(os.path.basename(p) for p in paths)
+            yield _pad(np.asarray(images), cfg.batch_size)
+
+    corpus = engine.encode_corpus(corpus_batches())
+    # only the final loader batch can be short, so padding rows are all at
+    # the tail — trim them
+    corpus = corpus[: len(names)]
     logging.info("corpus: %d images encoded in %.1fs", len(names), time.time() - t0)
 
-    # ---- queries (macro batches) -------------------------------------------
+    # ---- queries (macro batches, next chunk decodes while current runs) ----
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
 
     with open(cfg.query_file) as f:
@@ -87,17 +104,27 @@ def main(argv=None) -> None:
     out_path = cfg.demo_out if cfg.demo_out.endswith(".jsonl") else (
         cfg.demo_out + ".jsonl")
     macro = cfg.batch_size
+    chunks = [queries[lo:lo + macro] for lo in range(0, len(queries), macro)]
+
+    def decode_chunk(chunk):
+        imgs = np.stack([t_val(Image.open(q["image"])) for q in chunk])
+        text = np.asarray(tokenize(
+            [str(q.get("text", "a photo of *")) for q in chunk]))
+        return _pad(imgs, macro), _pad(text, macro)
+
+    topn = min(10, len(names))
     t0 = time.time()
     n_done = 0
-    with open(out_path, "w") as out:
-        for lo in range(0, len(queries), macro):
-            chunk = queries[lo:lo + macro]
-            imgs = np.stack([
-                t_val(Image.open(q["image"])) for q in chunk
-            ])
-            text = tokenize([str(q.get("text", "a photo of *")) for q in chunk])
-            scores, idx = engine.search([imgs], [np.asarray(text)], corpus,
-                                        topn=min(10, len(names)))
+    with open(out_path, "w") as out, ThreadPoolExecutor(1) as prefetch:
+        futures = [prefetch.submit(decode_chunk, c) for c in chunks[:1]]
+        for ci, chunk in enumerate(chunks):
+            if ci + 1 < len(chunks):  # decode next chunk while this computes
+                futures.append(prefetch.submit(decode_chunk, chunks[ci + 1]))
+            imgs, text = futures[ci].result()
+            q_feats = engine.compose([imgs], [text])[: len(chunk)]
+            sims = q_feats @ np.asarray(corpus, np.float32).T
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :topn]
+            scores = np.take_along_axis(sims, idx, axis=1)
             for qi, q in enumerate(chunk):
                 out.write(json.dumps({
                     "query": q["image"],

@@ -149,11 +149,16 @@ class DataLoader:
         stop = object()
 
         def producer():
+            # Exceptions must reach the consumer: a swallowed fetch error
+            # would silently truncate the epoch (every downstream consumer —
+            # eval corpora, serving — would see a short dataset and produce
+            # wrong results with exit code 0).
             try:
                 for b in batches:
                     q.put(self._fetch(pool, b))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001 - relayed to consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -162,6 +167,8 @@ class DataLoader:
                 item = q.get()
                 if item is stop:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 if item is not None:
                     yield item
         finally:

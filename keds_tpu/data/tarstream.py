@@ -136,6 +136,7 @@ class TarShardDataset:
         resampled: bool = False,
         upsampling_factors: Optional[str | Sequence[float]] = None,
         workers: int = 0,
+        worker_processes: bool = False,
     ):
         """``urls`` may name several ``::``-separated sources (open_clip
         convention inherited by the reference flag surface).
@@ -188,6 +189,7 @@ class TarShardDataset:
         self.world_size = world_size
         self.partial_batches = partial_batches
         self.workers = workers
+        self.worker_processes = worker_processes
         self.epoch = 0
         global_batch = batch_size * world_size
         self.num_batches = train_num_samples // global_batch
@@ -243,26 +245,42 @@ class TarShardDataset:
 
     def _decoded(self) -> Iterator[Optional[tuple]]:
         """Decoded sample stream.  With ``workers`` > 0, decode runs in a
-        thread pool with a bounded in-flight window, order-preserving — the
-        analog of the reference's dataloader worker decode
-        (src/data.py:839-863); serial decode would starve the jitted step
-        ~7:1 at ViT-L raw-training rates."""
+        thread (or, with ``worker_processes``, spawned-process) pool with a
+        bounded order-preserving in-flight window — the analog of the
+        reference's dataloader worker decode (src/data.py:839-863); serial
+        decode would starve the jitted step ~7:1 at ViT-L raw-training
+        rates."""
         if self.workers <= 0:
             for sample in self._samples():
                 yield self._decode(sample)
             return
         import collections
-        from concurrent.futures import ThreadPoolExecutor
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
+        if self.worker_processes:
+            pool = ProcessPoolExecutor(
+                self.workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_tar_worker_init, initargs=(self,),
+            )
+            fn = _tar_worker_decode
+        else:
+            pool = ThreadPoolExecutor(self.workers)
+            fn = self._decode
         window = max(2 * self.batch_size, 4 * self.workers)
-        with ThreadPoolExecutor(self.workers) as pool:
-            inflight: collections.deque = collections.deque()
+        inflight: collections.deque = collections.deque()
+        try:
             for sample in self._samples():
-                inflight.append(pool.submit(self._decode, sample))
+                inflight.append(pool.submit(fn, sample))
                 if len(inflight) >= window:
                     yield inflight.popleft().result()
             while inflight:
                 yield inflight.popleft().result()
+        finally:
+            # The consumer stops mid-stream at the epoch budget (always, in
+            # resampled mode) — don't block on the queued window, drop it.
+            pool.shutdown(wait=False, cancel_futures=True)
 
     def __iter__(self) -> Iterator[tuple]:
         images: List = []
@@ -283,19 +301,39 @@ class TarShardDataset:
             yield np.stack(images), np.stack(caps)
 
 
+class _PilJpegDecoder:
+    """Picklable byte -> array decoder (process decode workers receive the
+    dataset — decoder included — via the pool initializer)."""
+
+    def __init__(self, n_px: int, is_train: bool, normalize: bool):
+        from keds_tpu.transforms import image_transform
+
+        self.tf = image_transform(n_px, is_train=is_train, normalize=normalize)
+
+    def __call__(self, raw: bytes):
+        from PIL import Image
+
+        return self.tf(Image.open(io.BytesIO(raw)))
+
+
 def pil_jpeg_decoder(n_px: int = 224, is_train: bool = True,
                      normalize: bool = True) -> Callable:
     """Byte -> array decoder using the host PIL pipeline (reference
     my_decoder_kv, src/data.py:866-871).  ``normalize=False`` emits uint8
     for the device-preprocess wire format (normalization happens in-graph
     via transforms.device_normalize)."""
-    from PIL import Image
+    return _PilJpegDecoder(n_px, is_train, normalize)
 
-    from keds_tpu.transforms import image_transform
 
-    tf = image_transform(n_px, is_train=is_train, normalize=normalize)
+# Process-decode worker state (ships once per worker via the initializer;
+# per-task pickling of the dataset would re-send the caption map each call).
+_TAR_WORKER_DS = None
 
-    def decode(raw: bytes):
-        return tf(Image.open(io.BytesIO(raw)))
 
-    return decode
+def _tar_worker_init(ds) -> None:
+    global _TAR_WORKER_DS
+    _TAR_WORKER_DS = ds
+
+
+def _tar_worker_decode(sample):
+    return _TAR_WORKER_DS._decode(sample)

@@ -46,6 +46,11 @@ def test_group_tar_samples_handles_duplicate_suffix():
     assert out[2]["img"] == b"3"
 
 
+def _reshape_decode(raw):
+    """Module-level (picklable) decoder for process-pool tests."""
+    return np.frombuffer(raw, dtype=np.uint8).reshape(4, 4).astype(np.float32)
+
+
 def _write_shard(path, samples):
     with tarfile.open(path, "w") as tf:
         for key, img in samples:
@@ -319,3 +324,45 @@ def test_tar_parallel_decode_matches_serial(tmp_path):
     for (ia, ta), (ib, tb) in zip(serial, parallel):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(ta, tb)
+
+
+def test_tar_process_decode_matches_serial(tmp_path):
+    """worker_processes=True decodes in spawned processes (picklable decoder
+    shipped via initializer) with identical output order."""
+    rng = np.random.default_rng(13)
+    n_per = 8
+    for s in range(2):
+        _write_shard(
+            str(tmp_path / f"q-0000{s}.tar"),
+            [(f"q{s}_{i}", rng.integers(0, 255, (4, 4), dtype=np.uint8))
+             for i in range(n_per)],
+        )
+    caps = {f"q{s}_{i}": f"c{s}{i}" for s in range(2) for i in range(n_per)}
+    mk = lambda **kw: TarShardDataset(  # noqa: E731
+        str(tmp_path / "q-{00000..00001}.tar"), batch_size=4,
+        decode_image=_reshape_decode, caption_map=caps,
+        shuffle_buffer=8, train_num_samples=16, **kw)
+    serial = list(mk(workers=0))
+    procs = list(mk(workers=2, worker_processes=True))
+    assert len(serial) == len(procs) == 4
+    for (ia, ta), (ib, tb) in zip(serial, procs):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ta, tb)
+
+
+def test_loader_producer_exception_propagates():
+    """A fetch error must raise in the consumer, not silently truncate the
+    epoch (round-2 review: serving ranked against a partial corpus)."""
+    from keds_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise IOError("corrupt sample")
+            return np.zeros((2,), np.float32)
+
+    with pytest.raises(IOError, match="corrupt"):
+        list(DataLoader(Bad(), 2, num_workers=2))

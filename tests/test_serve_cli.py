@@ -77,3 +77,16 @@ def test_serve_cli_end_to_end(tmp_path):
     # different prompts must produce different rankings or scores
     assert any(lines[0]["results"][i]["score"] != lines[1]["results"][i]["score"]
                for i in range(9))
+
+    # a corrupt corpus image must fail LOUDLY, not silently truncate the
+    # corpus (round-2 review finding on the loader's producer thread)
+    (corpus / "broken.png").write_bytes(b"not an image")
+    with pytest.raises(Exception):
+        serve_main([
+            "--resume", resume, "--database-path", str(db),
+            "--target-data", str(corpus), "--query_file", str(queries),
+            "--demo-out", str(tmp_path / "r2.jsonl"), "--batch-size", "4",
+            "--db-topk", "4", "--precision", "fp32",
+            "--logs", str(tmp_path / "logs2"), "--name", "serve2",
+            "--no-time-suffix",
+        ])
