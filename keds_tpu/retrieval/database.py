@@ -229,8 +229,11 @@ class Retriever:
     ) -> Tuple[jax.Array, jax.Array]:
         """Top-k image and caption neighbor features for each query
         (reference get_retrieved_features).  ``rng`` drives the image-side
-        neighbor permutation; None disables it (eval twin,
-        src/eval_utils.py:153-186, keeps it on — pass a key there too).
+        neighbor permutation; None disables it.  The reference's eval twin
+        shuffles *unseeded* (src/eval_utils.py:172-175); we omit the shuffle
+        at eval — a provable no-op because CrossAttention is
+        permutation-invariant over keys/values (PARITY.md, tested in
+        tests/test_retrieval.py).
 
         ``db_arrays=(image_db, text_db)`` lets jitted callers pass the DB as
         traced *arguments* — required because closed-over arrays are embedded

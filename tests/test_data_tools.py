@@ -366,3 +366,29 @@ def test_loader_producer_exception_propagates():
 
     with pytest.raises(IOError, match="corrupt"):
         list(DataLoader(Bad(), 2, num_workers=2))
+
+
+def test_prep_imagenet_val(tmp_path):
+    """valprep.sh analog (reference valprep.sh:1-5): flat val dir ->
+    per-synset subfolders, parsing either mapping format."""
+    from keds_tpu.tools.prep_imagenet_val import main, parse_mapping
+
+    # valprep.sh-style script
+    script = tmp_path / "valprep.sh"
+    script.write_text(
+        "mkdir -p n01440764\t\nmkdir -p n09193705\t\n"
+        "mv v1.JPEG n01440764/\t\nmv v2.JPEG n09193705/\t\n"
+        "mv v3.JPEG n01440764/\t\n"
+    )
+    assert parse_mapping(["v1.JPEG n01440764"]) == {"v1.JPEG": "n01440764"}
+    val = tmp_path / "val"
+    val.mkdir()
+    for n in ("v1.JPEG", "v2.JPEG", "v3.JPEG"):
+        (val / n).write_bytes(b"x")
+    assert main(["--val-dir", str(val), "--mapping", str(script), "--dry-run"]) == 0
+    assert (val / "v1.JPEG").exists()  # dry run moved nothing
+    assert main(["--val-dir", str(val), "--mapping", str(script)]) == 0
+    assert (val / "n01440764" / "v1.JPEG").exists()
+    assert (val / "n01440764" / "v3.JPEG").exists()
+    assert (val / "n09193705" / "v2.JPEG").exists()
+    assert not (val / "v1.JPEG").exists()

@@ -176,3 +176,20 @@ def test_approx_backend_sharded_matches_replicated():
         feats, k=8, rng=None, db_arrays=(db_s.image_db, db_s.text_db))
     np.testing.assert_allclose(np.asarray(a_i), np.asarray(s_i), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(a_t), np.asarray(s_t), rtol=1e-6)
+
+
+def test_crossformer_kv_permutation_invariance():
+    """Eval omits the reference's unseeded neighbor shuffle
+    (src/eval_utils.py:172-175) — a no-op because CrossAttention is
+    permutation-invariant over key/value rows (PARITY.md entry)."""
+    from keds_tpu.models.heads import crossformer_apply, init_crossformer
+
+    key = jax.random.PRNGKey(0)
+    params = init_crossformer(key, 768, 768, 768, num_layers=3)
+    q = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 768), jnp.float32)
+    kv = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 768), jnp.float32)
+    perm = jax.random.permutation(jax.random.PRNGKey(3), 16)
+    out = crossformer_apply(params, q, kv, kv)
+    out_perm = crossformer_apply(params, q, kv[:, perm], kv[:, perm])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_perm),
+                               rtol=1e-5, atol=1e-5)
