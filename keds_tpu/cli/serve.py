@@ -21,8 +21,37 @@ from __future__ import annotations
 import json
 import logging
 import os
-import sys
 import time
+
+# Corpora at or above this many rows rank on device (only (B, topn) crosses
+# the wire); smaller ones keep the host matmul, where the extra program
+# dispatch would cost more than the host GEMM it replaces.  Paths are
+# equality-tested (tests/test_engine.py::test_device_corpus_search_matches_host).
+DEVICE_RANK_MIN_ROWS = 4096
+
+
+class _QueryDataset:
+    """queries.jsonl rows -> (transformed image, tokenized prompt).  A real
+    dataset so query decode rides the shared DataLoader pools (threads or
+    spawned processes — the reference's worker decode, src/data.py:839-863)."""
+
+    def __init__(self, queries, transform):
+        self.queries = queries
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.queries)
+
+    def __getitem__(self, i):
+        import numpy as np
+        from PIL import Image
+
+        from keds_tpu.tokenizer import tokenize
+
+        q = self.queries[i]
+        img = self.transform(Image.open(q["image"]))
+        text = np.asarray(tokenize(str(q.get("text", "a photo of *"))))[0]
+        return img, text
 
 
 def main(argv=None) -> None:
@@ -41,8 +70,6 @@ def main(argv=None) -> None:
     from keds_tpu.engine import ComposedQueryEngine
     from keds_tpu.io.checkpoint import load_heads_checkpoint
     from keds_tpu.models.loader import load_clip
-    from keds_tpu.tokenizer import tokenize
-
     cfg = parse_args(argv)
     cfg = setup_experiment(cfg, require_fresh=False)
     mesh = setup_runtime(cfg)
@@ -94,37 +121,39 @@ def main(argv=None) -> None:
     corpus = corpus[: len(names)]
     logging.info("corpus: %d images encoded in %.1fs", len(names), time.time() - t0)
 
-    # ---- queries (macro batches, next chunk decodes while current runs) ----
-    from concurrent.futures import ThreadPoolExecutor
+    # ---- ranking placement (see DEVICE_RANK_MIN_ROWS) ----------------------
+    dev_corpus = (engine.corpus_to_device(corpus)
+                  if len(names) >= DEVICE_RANK_MIN_ROWS else None)
 
-    from PIL import Image
-
+    # ---- queries (macro batches; decode overlaps compute via the loader's
+    # prefetch, with --workers threads or --worker-processes processes) ------
     with open(cfg.query_file) as f:
         queries = [json.loads(line) for line in f if line.strip()]
     out_path = cfg.demo_out if cfg.demo_out.endswith(".jsonl") else (
         cfg.demo_out + ".jsonl")
     macro = cfg.batch_size
     chunks = [queries[lo:lo + macro] for lo in range(0, len(queries), macro)]
+    q_loader = DataLoader(_QueryDataset(queries, t_val), macro,
+                          num_workers=cfg.workers,
+                          worker_processes=cfg.worker_processes)
 
-    def decode_chunk(chunk):
-        imgs = np.stack([t_val(Image.open(q["image"])) for q in chunk])
-        text = np.asarray(tokenize(
-            [str(q.get("text", "a photo of *")) for q in chunk]))
-        return _pad(imgs, macro), _pad(text, macro)
-
-    topn = min(10, len(names))
+    topn = min(cfg.topn, len(names))
     t0 = time.time()
     n_done = 0
-    with open(out_path, "w") as out, ThreadPoolExecutor(1) as prefetch:
-        futures = [prefetch.submit(decode_chunk, c) for c in chunks[:1]]
-        for ci, chunk in enumerate(chunks):
-            if ci + 1 < len(chunks):  # decode next chunk while this computes
-                futures.append(prefetch.submit(decode_chunk, chunks[ci + 1]))
-            imgs, text = futures[ci].result()
-            q_feats = engine.compose([imgs], [text])[: len(chunk)]
-            sims = q_feats @ np.asarray(corpus, np.float32).T
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :topn]
-            scores = np.take_along_axis(sims, idx, axis=1)
+    with open(out_path, "w") as out:
+        for chunk, (imgs, text) in zip(chunks, q_loader):
+            imgs = _pad(np.asarray(imgs), macro)
+            text = _pad(np.asarray(text), macro)
+            if dev_corpus is not None:
+                f, _ = engine.compose_batch(imgs, text)
+                s, i = engine.rank(f, dev_corpus, topn)
+                scores = np.asarray(s)[: len(chunk)]
+                idx = np.asarray(i)[: len(chunk)]
+            else:
+                q_feats = engine.compose([imgs], [text])[: len(chunk)]
+                sims = q_feats @ np.asarray(corpus, np.float32).T
+                idx = np.argsort(-sims, axis=1, kind="stable")[:, :topn]
+                scores = np.take_along_axis(sims, idx, axis=1)
             for qi, q in enumerate(chunk):
                 out.write(json.dumps({
                     "query": q["image"],
@@ -134,7 +163,9 @@ def main(argv=None) -> None:
                         for r, j in enumerate(idx[qi])
                     ],
                 }) + "\n")
+            out.flush()  # results stream as chunks complete
             n_done += len(chunk)
+    q_loader.close()
     dt = time.time() - t0
     logging.info("served %d composed queries in %.2fs (%.1f q/s incl. decode)",
                  n_done, dt, n_done / max(dt, 1e-9))

@@ -53,6 +53,7 @@ class Config:
     retrieval_data: Optional[str] = None
     demo_out: str = "demo"
     query_file: Optional[str] = None
+    topn: int = 10  # results returned per query (serve CLI ranking depth)
     source_data: Optional[str] = None
     target_data: Optional[str] = None
     target_pad: bool = False
@@ -168,6 +169,8 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
     add("--retrieval-data", type=str, default=None)
     add("--demo-out", type=str, default="demo")
     add("--query_file", type=str, default=None)
+    add("--topn", type=int, default=10,
+        help="results returned per query (serve CLI ranking depth)")
     add("--source-data", type=str, default=None)
     add("--target-data", type=str, default=None)
     add("--target-pad", action="store_true", default=False)

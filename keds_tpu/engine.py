@@ -15,7 +15,7 @@ numbers and schedules in BENCH_NOTES.md).
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence, Tuple
+from typing import Iterable, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -23,8 +23,21 @@ import numpy as np
 
 from keds_tpu.models import clip as mclip
 from keds_tpu.models.composition import FusionHeads, compose_pseudo_tokens
+from keds_tpu.ops.topk import mips_topk, mips_topk_sharded
 from keds_tpu.retrieval.database import KnowledgeDB, Retriever
 from keds_tpu.tokenizer import star_token_id
+
+
+class DeviceCorpus(NamedTuple):
+    """A retrieval corpus resident in device HBM (row-sharded under a mesh).
+
+    The reference ranks on host (``sims = q @ corpus.T`` + argsort,
+    src/eval_utils.py:256-257); keeping the corpus on device and returning
+    only (scores, indices) removes the host matmul/argsort that would
+    dominate at large corpora."""
+
+    array: jax.Array   # (N_padded, D) f32, rows padded to the mesh axis
+    n_real: int        # true row count (padding rows are masked in the merge)
 
 
 class ComposedQueryEngine:
@@ -112,6 +125,7 @@ class ComposedQueryEngine:
         self._encode = _encode
         self._enc_feats = _enc_feats
         self._rest = _rest
+        self._rank_cache: dict = {}
 
     def _shard(self, x: jax.Array):
         if self.mesh is None:
@@ -131,24 +145,79 @@ class ComposedQueryEngine:
         return np.concatenate([np.asarray(o.astype(jnp.float32)) for o in outs])
 
     # -- queries ------------------------------------------------------------
-    def compose(self, image_batches: Sequence, text_batches: Sequence) -> np.ndarray:
-        """Composed query features for (reference image, prompt-with-*) pairs,
-        pipelined across batches."""
+    def _compose_device(self, image_batches: Sequence, text_batches: Sequence):
+        """Dispatch the two-program composed query per batch; yields
+        (device features (B_padded, D), real count)."""
         quant = self.retriever.quant_arrays()
-        outs = []
         for im, tx in zip(image_batches, text_batches):
             xi, n = self._shard(jnp.asarray(im))
             xt, _ = self._shard(jnp.asarray(tx))
             f = self._enc_feats(self.clip_c, xi)
-            outs.append(self._rest(
+            yield self._rest(
                 self.clip_c, self.heads, self.db.image_db, self.db.text_db,
-                quant, f, xt)[:n])
+                quant, f, xt), n
+
+    def compose_batch(self, images, text) -> Tuple[jax.Array, int]:
+        """Composed features for ONE batch, left on device (for device-side
+        ranking); returns (features incl. padding rows, real count)."""
+        ((f, n),) = self._compose_device([images], [text])
+        return f, n
+
+    def compose(self, image_batches: Sequence, text_batches: Sequence) -> np.ndarray:
+        """Composed query features for (reference image, prompt-with-*) pairs,
+        pipelined across batches."""
+        outs = [f[:n] for f, n in self._compose_device(image_batches, text_batches)]
         return np.concatenate([np.asarray(o.astype(jnp.float32)) for o in outs])
 
+    # -- device-side corpus ranking ------------------------------------------
+    def corpus_to_device(self, corpus: np.ndarray) -> DeviceCorpus:
+        """Place an encoded corpus in device HBM, row-sharded over the mesh
+        (the serving analog of KnowledgeDB.shard_over)."""
+        arr = jnp.asarray(np.asarray(corpus, np.float32))
+        n = int(arr.shape[0])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            pad = (-n) % self.mesh.shape["data"]
+            if pad:
+                arr = jnp.pad(arr, ((0, pad), (0, 0)))
+            arr = jax.device_put(arr, NamedSharding(self.mesh, P("data", None)))
+        return DeviceCorpus(arr, n)
+
+    def _rank_fn(self, topn: int, n_real: int):
+        key = (topn, n_real, self.mesh is not None)
+        if key not in self._rank_cache:
+            if self.mesh is not None:
+                mesh = self.mesh
+                fn = jax.jit(lambda q, c: mips_topk_sharded(
+                    q, c, topn, mesh, n_real=n_real))
+            else:
+                fn = jax.jit(lambda q, c: mips_topk(q, c, topn))
+            self._rank_cache[key] = fn
+        return self._rank_cache[key]
+
+    def rank(self, q_feats: jax.Array, corpus: DeviceCorpus,
+             topn: int = 10) -> Tuple[jax.Array, jax.Array]:
+        """Top-``topn`` (scores, indices) of a device corpus for composed
+        query features; everything stays on device (results are (B, topn))."""
+        topn = min(topn, corpus.n_real)
+        q = jnp.asarray(q_feats, jnp.float32)
+        return self._rank_fn(topn, corpus.n_real)(q, corpus.array)
+
     def search(self, image_batches: Sequence, text_batches: Sequence,
-               corpus: np.ndarray, topn: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+               corpus: Union[np.ndarray, DeviceCorpus],
+               topn: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         """Rank a corpus for every composed query; returns (scores, indices)
-        of the top ``topn``."""
+        of the top ``topn``.  A :class:`DeviceCorpus` ranks on device
+        (only (B, topn) results cross the wire); a numpy corpus keeps the
+        host path (fine at demo scale, equality-tested against the device
+        path)."""
+        if isinstance(corpus, DeviceCorpus):
+            ranked = [(*self.rank(f, corpus, topn), n)
+                      for f, n in self._compose_device(image_batches, text_batches)]
+            scores = np.concatenate([np.asarray(s)[:n] for s, _, n in ranked])
+            idx = np.concatenate([np.asarray(i)[:n] for _, i, n in ranked])
+            return scores, idx.astype(np.int64)
         q = self.compose(image_batches, text_batches)
         sims = q @ np.asarray(corpus, np.float32).T
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :topn]

@@ -173,3 +173,62 @@ def test_engine_compose_matches_manual_pipeline():
                                           tok, split_id=star_token_id())
     want = np.asarray(out / jnp.linalg.norm(out, axis=-1, keepdims=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _tiny_setup(seed=0, n_db=128):
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=2,
+    )
+    params = mclip.init_clip(jax.random.key(seed), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(seed + 1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, D, 48, D),
+        retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+    )
+    rng = np.random.default_rng(seed)
+    db = KnowledgeDB.from_arrays(rng.standard_normal((n_db, D)),
+                                 rng.standard_normal((n_db, D)), dtype=jnp.float32)
+    return cfg, params, heads, db, rng
+
+
+def test_device_corpus_search_matches_host():
+    """Device-side ranking (DeviceCorpus + mips_topk) must equal the host
+    numpy fallback — single device and on the 8-device mesh (row-sharded
+    corpus with padding)."""
+    from keds_tpu.parallel.mesh import make_mesh
+
+    cfg, params, heads, db, rng = _tiny_setup(7)
+    text = np.zeros((6, 77), np.int32)
+    text[:, :8] = [49406, 320, 1125, 539, 265, 267, 1929, 49407]
+    imgs = [rng.standard_normal((6, 32, 32, 3)).astype(np.float32)]
+    corpus_imgs = [rng.standard_normal((5, 32, 32, 3)).astype(np.float32)
+                   for _ in range(4)]  # 20 rows: not a multiple of 8
+    for mesh in (None, make_mesh(8)):
+        eng = ComposedQueryEngine(params, cfg, heads, db,
+                                  compute_dtype=jnp.float32, db_topk=8,
+                                  mesh=mesh)
+        corpus = eng.encode_corpus(corpus_imgs)
+        s_host, i_host = eng.search(imgs, [text], corpus, topn=5)
+        dev = eng.corpus_to_device(corpus)
+        assert dev.n_real == 20
+        s_dev, i_dev = eng.search(imgs, [text], dev, topn=5)
+        np.testing.assert_allclose(s_dev, s_host, rtol=1e-5, atol=1e-5)
+        # indices may differ only on exact-tie scores
+        mism = i_dev != i_host
+        if mism.any():
+            np.testing.assert_allclose(s_dev[mism], s_host[mism], atol=1e-6)
+
+
+def test_engine_rank_topn_clamped():
+    cfg, params, heads, db, rng = _tiny_setup(9)
+    eng = ComposedQueryEngine(params, cfg, heads, db,
+                              compute_dtype=jnp.float32, db_topk=8)
+    corpus = rng.standard_normal((3, D)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    dev = eng.corpus_to_device(corpus)
+    q = rng.standard_normal((2, D)).astype(np.float32)
+    s, i = eng.rank(jnp.asarray(q), dev, topn=10)  # topn > corpus rows
+    assert s.shape == (2, 3) and i.shape == (2, 3)

@@ -90,3 +90,77 @@ def test_serve_cli_end_to_end(tmp_path):
             "--logs", str(tmp_path / "logs2"), "--name", "serve2",
             "--no-time-suffix",
         ])
+
+
+def test_serve_cli_topn_workers_device_rank(tmp_path, monkeypatch):
+    """--topn + multi-worker query decode + the device-ranking path
+    (threshold monkeypatched down so the tiny corpus exercises it)."""
+    import keds_tpu.cli.serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "DEVICE_RANK_MIN_ROWS", 1)
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=2,
+    )
+    clip_params = mclip.init_clip(jax.random.key(0), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, D, 48, D),
+        retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+    )
+    resume = str(tmp_path / "ckpt.pt")
+    save_train_checkpoint(resume, epoch=1, name="t", clip_params=clip_params,
+                          clip_cfg=cfg, heads=heads)
+    rng = np.random.default_rng(0)
+    db = tmp_path / "db"
+    db.mkdir()
+    save_pt(np.float32(rng.standard_normal((64, D))), str(db / "cc_image_databases.pt"))
+    save_pt(np.float32(rng.standard_normal((64, D))), str(db / "cc_text_databases.pt"))
+    (db / "database_names.txt").write_text("\n".join(f"n{i}" for i in range(64)))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i in range(9):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            corpus / f"c{i}.png")
+    queries = tmp_path / "queries.jsonl"
+    qimg = str(corpus / "c0.png")
+    queries.write_text("\n".join(
+        json.dumps({"image": qimg, "text": f"make it {w} *"})
+        for w in ("red", "blue", "green", "tiny", "huge")
+    ))
+    out = tmp_path / "results.jsonl"
+    serve_main([
+        "--resume", resume, "--database-path", str(db),
+        "--target-data", str(corpus), "--query_file", str(queries),
+        "--demo-out", str(out), "--batch-size", "2", "--db-topk", "4",
+        "--topn", "3", "--workers", "2", "--precision", "fp32",
+        "--logs", str(tmp_path / "logs"), "--name", "serve-topn",
+        "--no-time-suffix",
+    ])
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 5
+    for rec in lines:
+        assert len(rec["results"]) == 3
+        scores = [r["score"] for r in rec["results"]]
+        assert scores == sorted(scores, reverse=True)
+
+    # device ranking must agree with the host path on the same inputs
+    monkeypatch.setattr(serve_mod, "DEVICE_RANK_MIN_ROWS", 10**9)
+    out_host = tmp_path / "results_host.jsonl"
+    serve_main([
+        "--resume", resume, "--database-path", str(db),
+        "--target-data", str(corpus), "--query_file", str(queries),
+        "--demo-out", str(out_host), "--batch-size", "2", "--db-topk", "4",
+        "--topn", "3", "--precision", "fp32",
+        "--logs", str(tmp_path / "logs2"), "--name", "serve-host",
+        "--no-time-suffix",
+    ])
+    host_lines = [json.loads(l) for l in out_host.read_text().splitlines()]
+    for dev_rec, host_rec in zip(lines, host_lines):
+        assert [r["name"] for r in dev_rec["results"]] == \
+            [r["name"] for r in host_rec["results"]]
+        np.testing.assert_allclose(
+            [r["score"] for r in dev_rec["results"]],
+            [r["score"] for r in host_rec["results"]], rtol=1e-5, atol=1e-5)
