@@ -58,6 +58,7 @@ def main(argv=None) -> None:
     from keds_tpu.models import heads as mheads
     from keds_tpu.models.composition import FusionHeads
     from keds_tpu.models.loader import load_clip
+    from keds_tpu.parallel.mesh import local_mesh_size, shard_batch
     from keds_tpu.tokenizer import star_token_id, tokenize
     from keds_tpu.train.losses import TrainBatch
     from keds_tpu.train.trainer import make_optimizer, make_train_step, train_epoch
@@ -124,7 +125,7 @@ def main(argv=None) -> None:
                     cap_map = json.load(f)
         loader = TarShardDataset(
             cfg.train_data,
-            batch_size=cfg.batch_size * mesh.devices.size,
+            batch_size=cfg.batch_size * local_mesh_size(mesh),
             decode_image=pil_jpeg_decoder(clip_cfg.image_resolution, is_train=True,
                                           normalize=not cfg.device_preprocess),
             caption_map=cap_map,
@@ -141,7 +142,7 @@ def main(argv=None) -> None:
     else:
         dataset = FeaturePairDataset(cfg.train_data)
         loader = DataLoader(
-            dataset, cfg.batch_size * mesh.devices.size, shuffle=True, seed=cfg.seed,
+            dataset, cfg.batch_size * local_mesh_size(mesh), shuffle=True, seed=cfg.seed,
             drop_last=True, num_workers=cfg.workers,
             rank=jax.process_index(), world_size=jax.process_count(),
             worker_processes=cfg.worker_processes,
@@ -183,7 +184,6 @@ def main(argv=None) -> None:
             db_other_tokens = jnp.asarray(arr)
 
     rep = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P("data"))
     heads = jax.device_put(heads, rep)
     opt_state = jax.device_put(optimizer.init(heads), rep)
 
@@ -211,6 +211,13 @@ def main(argv=None) -> None:
 
     writers = (ScalarWriters(cfg),) if jax.process_index() == 0 else ()
 
+    # Each process feeds its own per-rank batch; shard_batch assembles the
+    # global data-sharded array (make_array_from_process_local_data on a
+    # multi-process mesh, plain device_put on one host) — the analog of the
+    # reference's per-rank DDP feed (src/main.py:483-486, src/data.py:797).
+    def put(a):
+        return shard_batch(mesh, a)[0]
+
     def batches():
         if use_wds:
             from keds_tpu.train.losses import RawBatch
@@ -218,18 +225,17 @@ def main(argv=None) -> None:
             for images, caps in loader:
                 b = images.shape[0]
                 yield RawBatch(
-                    images=jax.device_put(
-                        jnp.asarray(images) if images.dtype == np.uint8
-                        else jnp.asarray(images, dtype), shard),
-                    caption_tokens=jax.device_put(jnp.asarray(caps), shard),
-                    other_tokens=jax.device_put(jnp.zeros((b, 77), jnp.int32), shard),
+                    images=put(jnp.asarray(images) if images.dtype == np.uint8
+                               else jnp.asarray(images, dtype)),
+                    caption_tokens=put(jnp.asarray(caps)),
+                    other_tokens=put(jnp.zeros((b, 77), jnp.int32)),
                 )
         else:
             for img, txt, _subject, other_tok in loader:
                 yield TrainBatch(
-                    image_features=jax.device_put(jnp.asarray(img, jnp.float32), shard),
-                    caption_features=jax.device_put(jnp.asarray(txt, jnp.float32), shard),
-                    other_tokens=jax.device_put(jnp.asarray(other_tok), shard),
+                    image_features=put(jnp.asarray(img, jnp.float32)),
+                    caption_features=put(jnp.asarray(txt, jnp.float32)),
+                    other_tokens=put(jnp.asarray(other_tok)),
                 )
 
     base_rng = jax.random.key(cfg.seed)

@@ -39,6 +39,7 @@ from keds_tpu.evalkit import metrics as M
 from keds_tpu.io.checkpoint import load_heads_checkpoint
 from keds_tpu.models import clip as mclip
 from keds_tpu.models.composition import FusionHeads, compose_pseudo_tokens
+from keds_tpu.parallel.mesh import fetch_global
 from keds_tpu.retrieval.database import Retriever
 from keds_tpu.tokenizer import star_token_id, tokenize
 
@@ -72,7 +73,7 @@ def extract_image_features(ctx: "EvalContext", dataset, batch_size: int = 128,
     feats, names = [], []
     for batch in DataLoader(dataset, batch_size, num_workers=num_workers):
         images, batch_names = batch[0], batch[1]
-        feats.append(np.asarray(ctx.image_features(images).astype(jnp.float32)))
+        feats.append(fetch_global(ctx.image_features(images).astype(jnp.float32)))
         names.extend(batch_names)
     return np.concatenate(feats), names
 
@@ -183,7 +184,7 @@ def _encode_corpus(ctx: EvalContext, target_loader) -> Tuple[np.ndarray, List[st
     for images, paths in target_loader:
         feats.append(_norm(ctx.image_features(images).astype(jnp.float32)))
         names.extend(paths)
-    return np.concatenate([np.asarray(f) for f in feats], axis=0), names
+    return np.concatenate([fetch_global(f) for f in feats], axis=0), names
 
 
 def _precompute_queries(ctx: EvalContext, query_loader, unpack) -> List[dict]:
@@ -232,8 +233,8 @@ def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
         for b in cache:  # dispatch all batches, fetch afterwards
             composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
             composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
-        composed = np.concatenate([np.asarray(c) for c in composed])
-        composed_tb = np.concatenate([np.asarray(c) for c in composed_tb])
+        composed = np.concatenate([fetch_global(c) for c in composed])
+        composed_tb = np.concatenate([fetch_global(c) for c in composed_tb])
         mixture = composed * 0.5 + composed_tb * 0.5
         mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
         feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
@@ -272,9 +273,9 @@ def evaluate_cirr_test(ctx: EvalContext, query_loader, target_loader,
         composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
         composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
         captions.append(_norm(ctx.encode_text(b["caption_only"]).astype(jnp.float32)))
-    composed = np.concatenate([np.asarray(c) for c in composed])
-    composed_tb = np.concatenate([np.asarray(c) for c in composed_tb])
-    captions = np.concatenate([np.asarray(c) for c in captions])
+    composed = np.concatenate([fetch_global(c) for c in composed])
+    composed_tb = np.concatenate([fetch_global(c) for c in composed_tb])
+    captions = np.concatenate([fetch_global(c) for c in captions])
     mixture = 0.5 * composed_tb + 0.5 * composed
     mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
     out_fn = partial(M.get_cirr_testoutput, corpus,
@@ -314,8 +315,8 @@ def evaluate_fashion(ctx: EvalContext, source_loader, target_loader,
         for b in cache:  # dispatch all batches, fetch afterwards
             composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
             composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
-        composed = np.concatenate([np.asarray(c) for c in composed])
-        composed_tb = np.concatenate([np.asarray(c) for c in composed_tb])
+        composed = np.concatenate([fetch_global(c) for c in composed])
+        composed_tb = np.concatenate([fetch_global(c) for c in composed_tb])
         mixture = 0.05 * j * composed_tb + (1 - 0.05 * j) * composed
         mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
         feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
@@ -346,7 +347,7 @@ def evaluate_coco(ctx: EvalContext, loader,
     cache = _precompute_queries(ctx, loader, unpack)
     corpus_parts = [_norm(ctx.image_features(b["target_images"]).astype(jnp.float32))
                     for b in cache]
-    corpus = np.concatenate([np.asarray(c) for c in corpus_parts])
+    corpus = np.concatenate([fetch_global(c) for c in corpus_parts])
     compose = ctx.composed_fn("retrieval", use_text_condition=True)
     logit_scale = float(np.exp(np.asarray(ctx.clip_params["logit_scale"])))
     results = {}
@@ -359,8 +360,8 @@ def evaluate_coco(ctx: EvalContext, loader,
         for b in cache:  # dispatch all batches, fetch afterwards
             composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
             composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
-        composed = np.concatenate([np.asarray(c) for c in composed])
-        composed_tb = np.concatenate([np.asarray(c) for c in composed_tb])
+        composed = np.concatenate([fetch_global(c) for c in composed])
+        composed_tb = np.concatenate([fetch_global(c) for c in composed_tb])
         mixture = 0.05 * j * composed_tb + (1 - 0.05 * j) * composed
         mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
         feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
@@ -383,7 +384,7 @@ def evaluate_imgnet_retrieval(ctx: EvalContext, prompts: Sequence[str],
     target_feats, target_labels = [], []
     for images, labels, _ in target_loader:
         f = _norm(ctx.image_features(images).astype(jnp.float32))
-        target_feats.append(np.asarray(f))
+        target_feats.append(fetch_global(f))
         target_labels.append(np.asarray(labels))
     target_feats = np.concatenate(target_feats)
     target_labels = np.concatenate(target_labels)
@@ -406,8 +407,8 @@ def evaluate_imgnet_retrieval(ctx: EvalContext, prompts: Sequence[str],
                 composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], text_b))
                 composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], text_b))
                 labels_all.append(b["labels"] + n_class * p_ind)
-            composed = np.concatenate([np.asarray(c) for c in composed])
-            composed_tb = np.concatenate([np.asarray(c) for c in composed_tb])
+            composed = np.concatenate([fetch_global(c) for c in composed])
+            composed_tb = np.concatenate([fetch_global(c) for c in composed_tb])
             labels_all = np.concatenate(labels_all)
             mixture = 0.1 * j * composed_tb + (1 - 0.1 * j) * composed
             mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)

@@ -98,17 +98,63 @@ def make_mesh(num_devices: int = 0, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def local_mesh_size(mesh: Mesh) -> int:
+    """Number of this process's devices in the mesh (== mesh size on a
+    single host)."""
+    pid = jax.process_index()
+    return sum(1 for d in mesh.devices.flat if d.process_index == pid)
+
+
 def shard_batch(mesh: Mesh, x, axis_name: str = "data"):
-    """Pad a batch to a multiple of the mesh axis (repeating the last row)
-    and place it sharded on that axis; returns (padded_array, real_count)."""
+    """Place a batch sharded over the mesh axis; returns (array, real_count).
+
+    Single process: pad to a multiple of the axis (repeating the last row)
+    and ``device_put`` onto the global sharding; ``real_count`` is the
+    pre-padding row count.
+
+    Multi process: ``x`` is this process's LOCAL batch (the reference feeds
+    one per-rank batch under DDP, src/main.py:483-486 + DistributedSampler
+    src/data.py:797); the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — ``device_put`` onto a
+    sharding spanning non-addressable devices cannot work.  Because padding
+    rows would land at each process tail (not the global tail, where callers
+    trim), the local batch must divide the local device count exactly;
+    ``real_count`` is the exact global row count.
+    """
     import jax.numpy as jnp
 
     n = x.shape[0]
-    w = mesh.shape[axis_name]
-    pad = (-n) % w
-    if pad:
-        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-    return jax.device_put(x, NamedSharding(mesh, P(axis_name))), n
+    if jax.process_count() == 1:
+        w = mesh.shape[axis_name]
+        pad = (-n) % w
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        return jax.device_put(x, NamedSharding(mesh, P(axis_name))), n
+    import numpy as np
+
+    local = local_mesh_size(mesh)
+    if n % local:
+        raise ValueError(
+            f"multi-process batches must divide the local device count "
+            f"({n} rows, {local} local devices) — padding would interleave "
+            f"into the global array where callers cannot trim it")
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(axis_name)), np.asarray(x))
+    return arr, n * jax.process_count()
+
+
+def fetch_global(x) -> "object":
+    """Device array -> host numpy, across processes.  Fully-addressable
+    arrays (single host) fetch directly; globally-sharded ones are gathered
+    with ``multihost_utils.process_allgather`` so every host sees the full
+    array (eval corpus passes, metric inputs)."""
+    import numpy as np
+
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

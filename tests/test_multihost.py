@@ -78,3 +78,159 @@ def test_two_process_distributed_psum():
     for rank, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{err[-2000:]}"
         assert "psum over 4 devices OK" in out, out
+
+
+CHILD_E2E = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from keds_tpu.config import Config
+from keds_tpu.parallel.mesh import (
+    local_mesh_size, make_mesh, maybe_init_distributed, shard_batch,
+    fetch_global,
+)
+
+cfg = Config(distributed=True, dist_url=os.environ["TEST_DIST_URL"])
+maybe_init_distributed(cfg)
+assert jax.process_count() == 2
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from keds_tpu.models import clip as mclip, heads as mheads
+from keds_tpu.models.composition import FusionHeads
+from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+from keds_tpu.train.losses import TrainBatch
+from keds_tpu.train.trainer import make_train_step
+
+D = 32
+ccfg = mclip.ClipConfig(
+    embed_dim=D, image_resolution=32, vision_layers=1, vision_width=64,
+    vision_patch_size=16, transformer_width=D, transformer_heads=1,
+    transformer_layers=1,
+)
+params = mclip.init_clip(jax.random.key(0), ccfg)
+k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+heads = FusionHeads(
+    img2text=mheads.init_im2text(k1, D, 24, D),
+    retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=2),
+    text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=2),
+)
+rng_np = np.random.default_rng(0)
+db_img = rng_np.standard_normal((64, D)).astype(np.float32)
+db_txt = rng_np.standard_normal((64, D)).astype(np.float32)
+
+mesh = make_mesh()
+assert mesh.devices.size == 4 and local_mesh_size(mesh) == 2
+
+# ---- 2-process train step: row-sharded DB, per-rank batches ---------------
+db = KnowledgeDB.from_arrays(db_img, db_txt, dtype=jnp.float32)
+db_s = db.shard_over(mesh)
+retr = Retriever(db_s, mesh=mesh, sharded=True)
+
+prompt = np.zeros((1, 77), np.int32)
+prompt[0, :5] = [49406, 320, 1125, 539, 49407]
+opt = optax.adamw(1e-3)
+step = make_train_step(
+    params, ccfg, retr, opt, stream="image", prompt_tokens=prompt,
+    split_id=265, grad_scale=1.0 / mesh.devices.size,
+    compute_dtype=jnp.float32,
+)
+rep = NamedSharding(mesh, P())
+heads_r = jax.device_put(heads, rep)
+opt_state = jax.device_put(opt.init(heads), rep)
+
+# per-rank local batches (2 rows per local device), deterministic per rank
+rank = jax.process_index()
+def local_batch(r):
+    g = np.random.default_rng(100 + r)
+    return (g.standard_normal((4, D)).astype(np.float32),
+            g.standard_normal((4, D)).astype(np.float32))
+img_f, cap_f = local_batch(rank)
+batch = TrainBatch(
+    image_features=shard_batch(mesh, jnp.asarray(img_f))[0],
+    caption_features=shard_batch(mesh, jnp.asarray(cap_f))[0],
+    other_tokens=shard_batch(mesh, jnp.zeros((4, 77), jnp.int32))[0],
+)
+rng = jax.random.key(7)
+heads2, opt2, loss = step(heads_r, opt_state, batch, rng)
+loss2p = float(np.asarray(loss.addressable_data(0)))
+
+# ---- single-replica reference on the assembled global batch ---------------
+img_g = np.concatenate([local_batch(0)[0], local_batch(1)[0]])
+cap_g = np.concatenate([local_batch(0)[1], local_batch(1)[1]])
+retr_local = Retriever(db)
+step_local = make_train_step(
+    params, ccfg, retr_local, opt, stream="image", prompt_tokens=prompt,
+    split_id=265, grad_scale=1.0 / mesh.devices.size,
+    compute_dtype=jnp.float32,
+)
+batch_local = TrainBatch(
+    image_features=jnp.asarray(img_g), caption_features=jnp.asarray(cap_g),
+    other_tokens=jnp.zeros((8, 77), jnp.int32),
+)
+heads2_l, _, loss_l = step_local(heads, opt.init(heads), batch_local, rng)
+assert abs(loss2p - float(loss_l)) < 1e-4, (loss2p, float(loss_l))
+
+# updated heads must match the single-replica update and be identical
+# across processes (replicated sharding)
+leaf2p = np.asarray(heads2.img2text["fc_out"]["w"].addressable_data(0))
+leaf_l = np.asarray(heads2_l.img2text["fc_out"]["w"])
+np.testing.assert_allclose(leaf2p, leaf_l, rtol=1e-4, atol=1e-5)
+
+# ---- 2-process eval corpus pass -------------------------------------------
+from keds_tpu.evalkit.evaluators import EvalContext
+
+ctx = EvalContext(clip_params=params, cfg=ccfg, retriever=retr,
+                  compute_dtype=jnp.float32, mesh=mesh, db_topk=8)
+g = np.random.default_rng(200 + rank)
+local_imgs = g.standard_normal((4, 32, 32, 3)).astype(np.float32)
+corpus_2p = fetch_global(ctx.image_features(jnp.asarray(local_imgs)))
+
+imgs_g = np.concatenate([
+    np.random.default_rng(200).standard_normal((4, 32, 32, 3)),
+    np.random.default_rng(201).standard_normal((4, 32, 32, 3)),
+]).astype(np.float32)
+ctx_local = EvalContext(clip_params=params, cfg=ccfg, retriever=retr_local,
+                        compute_dtype=jnp.float32, db_topk=8)
+corpus_l = np.asarray(ctx_local.image_features(jnp.asarray(imgs_g)))
+np.testing.assert_allclose(corpus_2p, corpus_l, rtol=1e-4, atol=1e-5)
+
+print(f"rank {jax.process_index()}: e2e train step + eval corpus OK "
+      f"(loss {loss2p:.6f})")
+"""
+
+
+def test_two_process_train_step_and_eval_corpus():
+    """VERDICT round-2 item 3: an actual train step (global-batch loss,
+    row-sharded DB retrieval, replicated head update) and an eval corpus
+    pass must run ACROSS PROCESSES and match a single-replica run on the
+    assembled global batch."""
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base["PYTHONPATH"] = str(REPO_ROOT) + os.pathsep + env_base.get("PYTHONPATH", "")
+    env_base["TEST_DIST_URL"] = f"tcp://127.0.0.1:{port}"
+    env_base["JAX_PLATFORMS"] = "cpu"
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env_base["WORLD_SIZE"] = "2"
+    procs = []
+    for rank in range(2):
+        env = dict(env_base)
+        env["RANK"] = str(rank)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", CHILD_E2E], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=str(REPO_ROOT),
+        ))
+    outs = [p.communicate(timeout=300) for p in procs]
+    losses = set()
+    for rank, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        assert "e2e train step + eval corpus OK" in out, out
+        losses.add(out.split("loss ")[-1].split(")")[0])
+    assert len(losses) == 1, losses  # identical replicated loss on both ranks
