@@ -32,6 +32,7 @@ from keds_tpu.models.layers import (
     layer_norm,
     transformer,
     transformer_collect,
+    transformer_seq_padded,
     unstack_blocks,
     residual_block,
 )
@@ -200,7 +201,7 @@ def encode_image(params: dict, cfg: ClipConfig, images: jax.Array) -> jax.Array:
         return encode_image_resnet(params, images, cfg.vision_heads)
     v = params["visual"]
     x = vision_tokens(params, cfg, images)
-    x = transformer(x, v["blocks"], cfg.vision_heads, causal=False)
+    x = transformer_seq_padded(x, v["blocks"], cfg.vision_heads)
     cls = layer_norm(x[:, 0, :], v["ln_post_g"], v["ln_post_b"])
     return jnp.dot(cls, v["proj"].astype(cls.dtype))
 
@@ -234,7 +235,7 @@ def encode_image_tokens(params: dict, cfg: ClipConfig, images: jax.Array) -> jax
     get_tokens``, model.py:418-428): (B, 1+N, vw), no post-LN/projection."""
     v = params["visual"]
     x = vision_tokens(params, cfg, images)
-    return transformer(x, v["blocks"], cfg.vision_heads, causal=False)
+    return transformer_seq_padded(x, v["blocks"], cfg.vision_heads)
 
 
 def encode_image_mid_features(

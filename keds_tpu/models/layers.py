@@ -113,11 +113,18 @@ def multi_head_attention(
         ).transpose(0, 2, 1, 3)
     else:
         scale = 1.0 / math.sqrt(Dh)
+        # Scores are produced in the COMPUTE dtype and softmax statistics in
+        # f32.  In bf16 this halves score traffic and is worth +12% encode /
+        # +9% text-tower throughput on v5e (BENCH_NOTES round-3 sweep);
+        # embedding cosine vs f32 scores is >0.99995 — the reference itself
+        # runs scores in fp16 (model.py:927-948 casts MHA weights), so both
+        # implementations round the same f32 ideal.  f32 compute (parity
+        # tests) is bit-identical to the previous always-f32 path.
         scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=x.dtype)
         if mask is not None:
-            scores = scores + mask.astype(jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            scores = scores + mask.astype(scores.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     ctx = ctx.reshape(B, S, D)
     return linear(ctx, out_w, out_b)
@@ -152,6 +159,29 @@ def transformer(
 
     out, _ = jax.lax.scan(body, x, blocks)
     return out
+
+
+def transformer_seq_padded(
+    x: jax.Array,
+    blocks: dict,
+    n_heads: int,
+    multiple: int = 8,
+) -> jax.Array:
+    """:func:`transformer` (no causal mask) with the sequence padded to a
+    sublane-friendly multiple and the padded keys masked out of every
+    softmax.  ViT-L's S=257 is MXU-hostile; padding to 264 measures +6% on
+    top of bf16 scores (+18% combined) for b32 encode on v5e (BENCH_NOTES
+    round-3 sweep).  Exact for the real tokens: padded rows never enter a
+    real row's softmax and the slice drops them."""
+    S = x.shape[1]
+    pad = (-S) % multiple
+    if pad == 0:
+        return transformer(x, blocks, n_heads, causal=False)
+    Sp = S + pad
+    x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    key_mask = jnp.where(jnp.arange(Sp) < S, 0.0, -jnp.inf).astype(jnp.float32)
+    out = transformer(x, blocks, n_heads, mask=key_mask, causal=None)
+    return out[:, :S]
 
 
 def transformer_collect(

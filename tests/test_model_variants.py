@@ -159,3 +159,32 @@ def test_get_text_mid_cross_feature_parity(small):
         heads.crossformer_apply,
     )
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_seq_padded_transformer_exact():
+    """transformer_seq_padded must equal the unpadded transformer exactly for
+    real tokens (padded keys are masked out of every softmax; padded rows
+    are sliced off) — the round-3 encode schedule (257->264 on ViT-L)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from keds_tpu.models import clip as mclip
+    from keds_tpu.models.layers import transformer, transformer_seq_padded
+
+    cfg = mclip.ClipConfig(
+        embed_dim=64, image_resolution=48, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=64, transformer_heads=1,
+        transformer_layers=2,
+    )
+    # grid 3x3 -> 10 tokens: pads to 16
+    params = mclip.init_clip(jax.random.key(0), cfg)
+    v = params["visual"]
+    imgs = jax.random.normal(jax.random.key(1), (3, 48, 48, 3), jnp.float32)
+    x = mclip.vision_tokens(params, cfg, imgs)
+    assert x.shape[1] % 8 != 0
+    want = transformer(x, v["blocks"], cfg.vision_heads, causal=False)
+    got = transformer_seq_padded(x, v["blocks"], cfg.vision_heads)
+    # mathematically exact; a few ulps of GEMM-tiling reassociation noise
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=5e-6)
