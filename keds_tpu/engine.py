@@ -87,12 +87,17 @@ class ComposedQueryEngine:
         self.db_topk = db_topk
         split_id = star_token_id()
 
-        # chunking reshapes the batch axis, so it is disabled when batches
-        # are sharded over the mesh
-        chunk = None if self.mesh is not None else encode_chunk
+        # Under a mesh the chunk loop moves INSIDE each shard (shard_map) so
+        # scale-out keeps the two-program macro win; chunking the global
+        # batch would reshape the sharded axis (BENCH_NOTES round-3
+        # scale-out section, equality-tested in tests/test_engine.py).
+        mesh_ = self.mesh
 
         def _enc_maybe_chunked(cp, images):
-            return mclip.encode_image_chunked(cp, cfg, images, chunk)
+            if mesh_ is not None:
+                return mclip.encode_image_chunked_mesh(cp, cfg, images,
+                                                       encode_chunk, mesh_)
+            return mclip.encode_image_chunked(cp, cfg, images, encode_chunk)
 
         @jax.jit
         def _encode(cp, images):

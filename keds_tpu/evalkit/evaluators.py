@@ -110,13 +110,21 @@ class EvalContext:
         # uint8 batches (the device-preprocess wire format) are normalized
         # in-graph; float batches trace to the identical pre-u8 program.
         # Encode runs in b32 chunks when the batch divides (the macro-batch
-        # schedule, BENCH_NOTES; disabled under a mesh — chunking reshapes
-        # the sharded batch axis).
+        # schedule, BENCH_NOTES); under a mesh the chunk loop runs per shard
+        # via shard_map so scale-out keeps the macro win.
         cfg = self.cfg
-        chunk = None if self.mesh is not None else mclip.DEFAULT_ENCODE_CHUNK
-        self._encode_image = jax.jit(
-            lambda cp, imgs: mclip.encode_image_chunked(cp, cfg, imgs, chunk)
-        )
+        chunk = mclip.DEFAULT_ENCODE_CHUNK
+        mesh_ = self.mesh if (self.mesh is not None
+                              and self.mesh.devices.size > 1) else None
+        if mesh_ is not None:
+            self._encode_image = jax.jit(
+                lambda cp, imgs: mclip.encode_image_chunked_mesh(
+                    cp, cfg, imgs, chunk, mesh_)
+            )
+        else:
+            self._encode_image = jax.jit(
+                lambda cp, imgs: mclip.encode_image_chunked(cp, cfg, imgs, chunk)
+            )
         self._encode_text = jax.jit(
             lambda cp, text: mclip.encode_text(cp, cfg, text)
         )

@@ -230,6 +230,24 @@ def encode_image_chunked(params: dict, cfg: ClipConfig, images: jax.Array,
     return encode_image(params, cfg, device_normalize(images))
 
 
+def encode_image_chunked_mesh(params: dict, cfg: ClipConfig, images: jax.Array,
+                              chunk: Optional[int], mesh,
+                              axis_name: str = "data") -> jax.Array:
+    """Per-shard chunked encode under a mesh: each device runs the macro-batch
+    chunk schedule on its LOCAL rows.  Chunking the global batch would
+    reshape the sharded axis (the round-2 conflict that silently disabled
+    the +16% macro win under a mesh); shard_map moves the chunk loop inside
+    each shard instead.  Shards smaller than ``chunk`` fall back to one shot
+    (encode_image_chunked's own divisibility guard)."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(p, im):
+        return encode_image_chunked(p, cfg, im, chunk)
+
+    return jax.shard_map(body, mesh=mesh, in_specs=(P(), P(axis_name)),
+                         out_specs=P(axis_name), check_vma=False)(params, images)
+
+
 def encode_image_tokens(params: dict, cfg: ClipConfig, images: jax.Array) -> jax.Array:
     """Full post-transformer token sequence (reference ``VisualTransformer.
     get_tokens``, model.py:418-428): (B, 1+N, vw), no post-LN/projection."""

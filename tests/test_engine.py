@@ -232,3 +232,24 @@ def test_engine_rank_topn_clamped():
     q = rng.standard_normal((2, D)).astype(np.float32)
     s, i = eng.rank(jnp.asarray(q), dev, topn=10)  # topn > corpus rows
     assert s.shape == (2, 3) and i.shape == (2, 3)
+
+
+def test_engine_mesh_chunked_encode_matches_unsharded():
+    """Per-shard chunking under the mesh (shard_map moves the chunk loop
+    inside each shard) must equal the unsharded chunked engine — the
+    round-2 conflict that silently disabled the macro schedule on meshes."""
+    from keds_tpu.parallel.mesh import make_mesh
+
+    cfg, params, heads, db, rng = _tiny_setup(21, n_db=64)
+    mk = lambda mesh, chunk: ComposedQueryEngine(  # noqa: E731
+        params, cfg, heads, db, compute_dtype=jnp.float32, db_topk=8,
+        mesh=mesh, encode_chunk=chunk)
+    e1 = mk(None, 2)
+    e8 = mk(make_mesh(8), 2)   # 32 rows -> 4/shard -> 2 chunks per shard
+    imgs = [rng.standard_normal((32, 32, 32, 3)).astype(np.float32)]
+    text = np.zeros((32, 77), np.int32)
+    text[:, :8] = [49406, 320, 1125, 539, 265, 267, 1929, 49407]
+    np.testing.assert_allclose(e8.encode_corpus(imgs), e1.encode_corpus(imgs),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(e8.compose(imgs, [text]), e1.compose(imgs, [text]),
+                               rtol=1e-5, atol=1e-5)
