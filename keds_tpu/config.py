@@ -185,10 +185,15 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
     add("--retrieval-backend", type=str, default="auto",
         choices=["auto", "xla", "pallas", "int8", "approx"],
         help="approx: TPU hardware partial-reduce ANN with exact re-rank of "
-             "4x-oversampled candidates (0.998 top-16 recall at 0.5M rows)")
+             "4x-oversampled candidates (top-16 recall 0.995 on Gaussian AND "
+             "0.993-0.995 on realistically correlated corpora, 200k rows); "
+             "int8: int8-MXU candidate scan + true-row rescore (1.0 overlap "
+             "at CLIP-like correlation; BENCH_NOTES round-3 accuracy tables)")
     add("--quant-towers", type=str, default="none", choices=["none", "int8"],
         help="int8: W8A8-quantize the CLIP tower GEMMs for inference "
-             "(4x smaller weights; see BENCH_NOTES.md for v5e speed findings)")
+             "(4x smaller weights; ~0.999 embedding cosine and 0.97 top-16 "
+             "neighbor overlap on structured images incl. injected outlier "
+             "channels — BENCH_NOTES round-3; v5e speed findings ibid.)")
     add("--no-device-preprocess", dest="device_preprocess",
         action="store_false", default=True,
         help="disable uint8 transfer + on-device normalization (ship f32 "

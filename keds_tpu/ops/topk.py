@@ -106,9 +106,13 @@ def mips_topk_approx(
     The reference ships only faiss ``IndexFlatL2`` (exact); this is the
     ANN serving mode its faiss users would reach for at larger corpora.
     Measured at (0.5M x 768, b32, k=16): 2.9 vs 3.8 ms exact, candidate-set
-    recall 0.998 with the default 4x oversample (BENCH_NOTES.md).  On
-    non-TPU backends ``approx_max_k`` lowers to an exact top-k, so results
-    degrade gracefully to exact.
+    recall 0.998 with the default 4x oversample — and, unlike the int8
+    grid, robust to realistic score clustering: 0.993-0.995 top-16 overlap
+    on correlated CLIP-geometry corpora at every tested cluster tightness
+    (BENCH_NOTES round-3 accuracy tables; the partial-reduce windowing
+    error is independent of score concentration).  On non-TPU backends
+    ``approx_max_k`` lowers to an exact top-k, so results degrade
+    gracefully to exact.
     """
     scores = jax.lax.dot_general(
         queries, db, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -138,13 +142,22 @@ def mips_topk_int8(
     db_scale: jax.Array,
     k: int,
     oversample: int = 4,
+    db: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate top-k over an int8-quantized DB with exact-order rescoring.
 
     Stage 1 scores all rows on the int8 MXU (int32 accumulate) with per-row
     dequant scales folded into the top-k input; stage 2 re-ranks the
-    ``k * oversample`` candidates in float32 so the returned order matches
-    the dequantized DB exactly.  Set ``oversample=1`` to skip rescoring.
+    ``k * oversample`` candidates in float32.  When ``db`` (the full-precision
+    rows) is passed, rescoring gathers the TRUE rows — accuracy is then
+    limited only by candidate recall, which stays ~1.0 at 4x oversample even
+    on tightly clustered corpora (BENCH_NOTES round-3 accuracy tables; on
+    correlated CLIP-like data, dequant-row rescoring flips ~5-9%% of
+    neighbors because the int8 grid noise exceeds the shrunken score gaps).
+    ``KnowledgeDB`` keeps the full-precision arrays resident for neighbor
+    gathers anyway, so the true-row rescore is free.  Without ``db`` the
+    rescore uses dequantized rows (the int8-artifact-only deployment).  Set
+    ``oversample=1`` to skip rescoring.
     """
     qs = jnp.max(jnp.abs(queries), axis=1) / 127.0
     q_i8 = jnp.round(queries / jnp.maximum(qs, 1e-12)[:, None]).astype(jnp.int8)
@@ -157,8 +170,10 @@ def mips_topk_int8(
     if oversample <= 1:
         vals = cand_vals * qs[:, None]
         return vals[:, :k], cand_idx[:, :k].astype(jnp.int32)
-    # exact rescore of the candidate rows in f32
-    cand_rows = db_i8[cand_idx].astype(jnp.float32) * db_scale[cand_idx][:, :, None]
+    if db is not None:  # exact rescore against the true rows
+        cand_rows = db[cand_idx].astype(jnp.float32)
+    else:  # dequantized rows (int8 artifacts are all we have)
+        cand_rows = db_i8[cand_idx].astype(jnp.float32) * db_scale[cand_idx][:, :, None]
     exact = jnp.einsum("bd,bkd->bk", queries.astype(jnp.float32), cand_rows)
     vals, pos = jax.lax.top_k(exact, k)
     idx = jnp.take_along_axis(cand_idx, pos, axis=1)
@@ -203,27 +218,36 @@ def mips_topk_int8_sharded(
     axis_name: str = "data",
     oversample: int = 4,
     n_real: int | None = None,
+    db: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Row-sharded int8 search: each shard runs :func:`mips_topk_int8`
-    (including its exact per-shard rescoring) on its rows, then candidates
-    merge over the axis — the quantized analog of faiss's all-GPU shard."""
+    (including its exact per-shard rescoring — against the true rows when
+    the row-sharded full-precision ``db`` is passed) on its rows, then
+    candidates merge over the axis — the quantized analog of faiss's
+    all-GPU shard."""
     n_total = db_i8.shape[0]
     n_real = n_real if n_real is not None else n_total
 
-    def body(q, d8, scale):
+    def body(q, d8, scale, *rest):
         n_local = d8.shape[0]
         k_local = min(k, n_local)
-        vals, idx = mips_topk_int8(q, d8, scale, k_local, oversample=oversample)
+        vals, idx = mips_topk_int8(q, d8, scale, k_local, oversample=oversample,
+                                   db=rest[0] if rest else None)
         shard = jax.lax.axis_index(axis_name)
         gidx = idx + (shard * n_local).astype(jnp.int32)
         vals, gidx = _pad_candidates(vals, gidx, k)
         return _merge_candidates(vals, gidx, k, axis_name, n_real)
 
+    args = (queries, db_i8, db_scale)
+    in_specs = [P(), P(axis_name, None), P(axis_name)]
+    if db is not None:
+        args += (db,)
+        in_specs.append(P(axis_name, None))
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(axis_name, None), P(axis_name)),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(queries, db_i8, db_scale)
+    return fn(*args)

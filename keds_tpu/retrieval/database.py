@@ -40,11 +40,17 @@ def _l2_normalize(x: np.ndarray) -> np.ndarray:
 
 @dataclasses.dataclass
 class KnowledgeDB:
-    """Unit-normalized embedding database for both modalities."""
+    """Unit-normalized embedding database for both modalities.
+
+    ``quant`` optionally carries pre-quantized int8 artifacts
+    (``tools/build_database.py --int8``): ``{"image": (q8, scale),
+    "text": (q8, scale)}``.  When present, ``Retriever(backend="int8")``
+    uses them directly instead of re-quantizing at startup."""
 
     image_db: jax.Array  # (N, D)
     text_db: jax.Array   # (N, D)
     names: List[str]
+    quant: Optional[dict] = None
 
     @property
     def size(self) -> int:
@@ -105,7 +111,10 @@ class KnowledgeDB:
             raise FileNotFoundError(
                 "knowledge database not found; pass --database-path or --db-image-file/--db-text-file"
             )
-        return cls.load(img, txt, names, dtype)
+        db = cls.load(img, txt, names, dtype)
+        if cfg.database_path:
+            db.quant = _load_int8_artifacts(cfg.database_path)
+        return db
 
     def shard_over(self, mesh: jax.sharding.Mesh, axis: str = "data") -> "KnowledgeDB":
         """Place DB rows sharded across the mesh axis (the analog of faiss
@@ -117,12 +126,25 @@ class KnowledgeDB:
         n = self.size
         n_pad = (-n) % w
         sharding = NamedSharding(mesh, P(axis, None))
+        sharding_1d = NamedSharding(mesh, P(axis))
 
         def place(a):
             a = jnp.pad(a, ((0, n_pad), (0, 0))) if n_pad else a
             return jax.device_put(a, sharding)
 
-        return KnowledgeDB(place(self.image_db), place(self.text_db), self.names)
+        quant = None
+        if self.quant is not None:
+            def place_q(pair):
+                q8, scale = pair
+                if n_pad:
+                    q8 = jnp.pad(q8, ((0, n_pad), (0, 0)))
+                    scale = jnp.pad(scale, ((0, n_pad),))
+                return (jax.device_put(q8, sharding),
+                        jax.device_put(scale, sharding_1d))
+
+            quant = {k: place_q(v) for k, v in self.quant.items()}
+        return KnowledgeDB(place(self.image_db), place(self.text_db),
+                           self.names, quant)
 
 
 def _first_existing(base: str, candidates: List[str]) -> Optional[str]:
@@ -131,6 +153,22 @@ def _first_existing(base: str, candidates: List[str]) -> Optional[str]:
         if os.path.isfile(p):
             return p
     return None
+
+
+def _load_int8_artifacts(base: str) -> Optional[dict]:
+    """Pre-quantized int8 index artifacts written by ``tools/
+    build_database.py --int8`` (``{image,text}_db_int8.npy`` +
+    ``*_db_scale.npy``).  Returns None unless all four files exist."""
+    out = {}
+    for name in ("image", "text"):
+        qf = os.path.join(base, f"{name}_db_int8.npy")
+        sf = os.path.join(base, f"{name}_db_scale.npy")
+        if not (os.path.isfile(qf) and os.path.isfile(sf)):
+            return None
+        out[name] = (jnp.asarray(np.load(qf)),
+                     jnp.asarray(np.load(sf), jnp.float32))
+    logging.info("loaded pre-quantized int8 DB artifacts from %s", base)
+    return out
 
 
 class Retriever:
@@ -157,17 +195,23 @@ class Retriever:
             raise ValueError("sharded retrieval requires a mesh")
         self._int8: dict = {}
         if backend == "int8":
-            # Quantize both modalities once; scoring runs on the int8 MXU
-            # with exact f32 rescoring of the oversampled candidates.  When
-            # sharded, quantized values/scales follow the DB's row sharding.
+            # Scoring runs on the int8 MXU with exact rescoring of the
+            # oversampled candidates against the resident full-precision
+            # rows.  Pre-quantized artifacts on the DB (build_database
+            # --int8) are used as-is; otherwise quantize both modalities
+            # once here.  When sharded, quantized values/scales follow the
+            # DB's row sharding (shard_over already placed db.quant).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            for name, arr in (("image", db.image_db), ("text", db.text_db)):
-                q8, scale = quantize_int8(arr)
-                if sharded:
-                    q8 = jax.device_put(q8, NamedSharding(mesh, P(axis_name, None)))
-                    scale = jax.device_put(scale, NamedSharding(mesh, P(axis_name)))
-                self._int8[name] = (q8, scale)
+            if db.quant is not None:
+                self._int8 = dict(db.quant)
+            else:
+                for name, arr in (("image", db.image_db), ("text", db.text_db)):
+                    q8, scale = quantize_int8(arr)
+                    if sharded:
+                        q8 = jax.device_put(q8, NamedSharding(mesh, P(axis_name, None)))
+                        scale = jax.device_put(scale, NamedSharding(mesh, P(axis_name)))
+                    self._int8[name] = (q8, scale)
 
     def quant_arrays(self):
         """The int8 index arrays ((img_q8, img_scale), (txt_q8, txt_scale)),
@@ -195,13 +239,19 @@ class Retriever:
                 pass
         n_real = len(self.db.names)  # sharding pads rows; names hold the truth
         if self.backend == "int8":
+            # The int8 scan only proposes candidates; the final order comes
+            # from rescoring against the TRUE rows (db_array) — they are
+            # resident anyway for the neighbor gather, and dequant-row
+            # rescoring measurably flips neighbors on clustered corpora
+            # (BENCH_NOTES round-3 accuracy tables).
             q8, scale = quant if quant is not None else self._int8[modality]
             if self.sharded:
                 return mips_topk_int8_sharded(
                     queries.astype(jnp.float32), q8, scale, k,
-                    self.mesh, self.axis_name, n_real=n_real,
+                    self.mesh, self.axis_name, n_real=n_real, db=db_array,
                 )
-            return mips_topk_int8(queries.astype(jnp.float32), q8, scale, k)
+            return mips_topk_int8(queries.astype(jnp.float32), q8, scale, k,
+                                  db=db_array)
         if self.sharded:
             return mips_topk_sharded(
                 queries, db_array, k, self.mesh, self.axis_name,

@@ -114,6 +114,52 @@ def test_sharded_pad_rows_cannot_win():
     assert (np.asarray(vals) < 0).all()
 
 
+def test_prequantized_artifacts_are_loaded_and_used(tmp_path):
+    """tools/build_database.py --int8 writes pre-quantized artifacts;
+    KnowledgeDB.from_config must pick them up and Retriever(backend='int8')
+    must score with THEM (proven by corrupting one artifact scale and
+    observing the stage-1 candidate scores change)."""
+    import json
+
+    from keds_tpu.config import Config
+    from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+    from keds_tpu.tools.build_database import main as build_db
+
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    img, txt = _db(64, 32, seed=7), _db(64, 32, seed=8)
+    np.save(feats / "image_features.npy", img)
+    np.save(feats / "text_features.npy", txt)
+    (feats / "names.json").write_text(json.dumps([f"n{i}" for i in range(64)]))
+    out = tmp_path / "db"
+    build_db(["--features", str(feats), "--out", str(out), "--size", "64",
+              "--no-pt", "--int8"])
+    assert (out / "image_db_int8.npy").exists()
+
+    cfg = Config(database_path=str(out))
+    db = KnowledgeDB.from_config(cfg, dtype=jnp.float32)
+    assert db.quant is not None and set(db.quant) == {"image", "text"}
+    # same q8/scale as in-memory quantization of the same rows
+    q8_mem, sc_mem = quantize_int8(db.image_db)
+    np.testing.assert_array_equal(np.asarray(db.quant["image"][0]),
+                                  np.asarray(q8_mem))
+    np.testing.assert_allclose(np.asarray(db.quant["image"][1]),
+                               np.asarray(sc_mem), rtol=1e-6)
+
+    # corrupt one artifact scale -> raw (oversample=1) scores must change,
+    # proving the retriever consumes the artifacts rather than requantizing
+    scale = np.load(out / "image_db_scale.npy")
+    scale[0] *= 50.0
+    np.save(out / "image_db_scale.npy", scale)
+    db2 = KnowledgeDB.from_config(cfg, dtype=jnp.float32)
+    q = jnp.asarray(_db(4, 32, seed=9))
+    r1 = Retriever(db, backend="int8")
+    r2 = Retriever(db2, backend="int8")
+    v1, _ = mips_topk_int8(q, *r1._int8["image"], 8, oversample=1)
+    v2, _ = mips_topk_int8(q, *r2._int8["image"], 8, oversample=1)
+    assert not np.allclose(np.asarray(v1), np.asarray(v2))
+
+
 def test_int8_backend_correct_under_jit_with_traced_db_args():
     """Regression (round-2 review): inside jit the DB enters as tracers, so
     the old object-identity modality dispatch silently used the TEXT index
