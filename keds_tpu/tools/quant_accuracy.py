@@ -250,7 +250,7 @@ def bench_pipeline(args) -> dict:
     return out
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--rows", type=int, default=200_000,
                    help="knowledge-DB rows (retrieval + pipeline parts)")
@@ -268,7 +268,7 @@ def main() -> None:
                    choices=["retrieval", "towers", "pipeline"])
     p.add_argument("--quick", action="store_true",
                    help="small sizes / tiny tower (CPU smoke)")
-    args = p.parse_args()
+    args = p.parse_args(argv)
     if args.quick:
         args.rows = min(args.rows, 20_000)
         args.queries = min(args.queries, 64)

@@ -158,6 +158,22 @@ def test_int8_tower_cosine_with_outlier_channels():
     assert cos.min() > 0.99, cos.min()
 
 
+def test_quant_accuracy_tool_smoke(capsys):
+    """tools/quant_accuracy.py --quick runs end-to-end on CPU and emits the
+    JSON results line (approx rows lower to exact off-TPU; the TPU-measured
+    tables live in BENCH_NOTES round-3)."""
+    import json
+
+    from keds_tpu.tools.quant_accuracy import main as qa_main
+
+    qa_main(["--quick", "--parts", "retrieval", "--rows", "4000",
+             "--dim", "128", "--queries", "32", "--spreads", "0.35"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    row = out["retrieval"]["correlated s=0.35"]
+    assert row["int8_true_rescore"] >= row["int8_deq_rescore"]
+    assert 0.3 < row["mean_cos"] < 0.65
+
+
 def test_cirr_eval_cells_exact_under_int8_backend(tmp_path):
     """End metric: synthetic-tree CIRR recall cells are IDENTICAL with the
     int8 retrieval backend (true-row rescore => same neighbor sets) and
