@@ -265,6 +265,32 @@ def _setup(ref_env, tmp_path, n_imgs=10, n_queries=6, n_epochs=30,
         (base / "captions" / "cap.rc2.val.json").write_text(_json.dumps(caps))
         (base / "image_splits" / "split.rc2.val.json").write_text(
             _json.dumps({n: f"dev/{n}.png" for n in names}))
+    elif tree == "coco":
+        import csv as _csv
+        import json as _json
+
+        base = root / "coco"
+        (base / "val2017").mkdir(parents=True)
+        (base / "val2017_masked").mkdir()
+        (base / "annotations").mkdir()
+        rows = []
+        for i in range(n_imgs):
+            name = f"{i:012d}.png"
+            for d in ("val2017", "val2017_masked"):
+                Image.fromarray(rng.integers(0, 255, (44, 44, 3), np.uint8)).save(
+                    base / d / name)
+            # square region crops so the reference's non-cropping region
+            # transform (plain resize) produces collatable square tensors
+            rows.append({"id": name, "query_regions": "4;4;36;36",
+                         "query_class": f"class{i % 3}",
+                         "classes": "cat;tree" if i % 2 else "boat"})
+        with open(base / "coco_eval.csv", "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows[:n_queries])
+        (base / "annotations" / "captions_val2017.json").write_text(
+            _json.dumps({"annotations": [
+                {"image_id": i, "caption": f"c{i}"} for i in range(n_imgs)]}))
     else:  # fashion-iq, one cloth type
         base = root / "fashion-iq"
         (base / "images").mkdir(parents=True)
@@ -283,14 +309,22 @@ def _setup(ref_env, tmp_path, n_imgs=10, n_queries=6, n_epochs=30,
         (base / "json" / "cap.dress.val.json").write_text(_json.dumps(caps))
 
     t_val = image_transform(RES, is_train=False)  # host-parity PIL pipeline
+    from keds_tpu.transforms import region_transform
+
+    t_region = region_transform(RES)  # COCO query regions: resize, no crop
 
     def torch_transform(img):
         return torch.from_numpy(np.asarray(t_val(img))).permute(2, 0, 1)
 
+    def torch_transform_region(img):
+        return torch.from_numpy(np.asarray(t_region(img))).permute(2, 0, 1)
+
     args = SimpleNamespace(gpu=None, distributed=True, dp=True, rank=0)
     return SimpleNamespace(m=m, params=params, cfg=cfg, db=db,
                            database=database, args=args, root=root,
-                           t_val=t_val, torch_transform=torch_transform,
+                           t_val=t_val, t_region=t_region,
+                           torch_transform=torch_transform,
+                           torch_transform_region=torch_transform_region,
                            scratch=scratch)
 
 
@@ -431,6 +465,35 @@ def test_cirr_full_ranking_parity(ref_env, tmp_path):
         np.testing.assert_allclose(
             np.take_along_axis(sims_ref, rank_ours, 1)[mism],
             np.take_along_axis(sims_ref, rank_ref, 1)[mism], atol=1e-6)
+
+
+def test_coco_recall_parity_end_to_end(ref_env, tmp_path):
+    """Third runnable mode: the COCO region-query evaluator (j=1..25, both
+    heads from image_branch epochs 2j-1/2j — the :483 quirk — mixture
+    0.05j, rank metrics both directions over the self-corpus)."""
+    s = _setup(ref_env, tmp_path, n_imgs=8, n_queries=8, n_epochs=50,
+               tree="coco")
+    ref_eval = ref_env.eval
+    from torch.utils.data import DataLoader as TorchLoader
+
+    q_ds = ref_env.data.CsvCOCO(transforms=s.torch_transform,
+                                transforms_region=s.torch_transform_region,
+                                root=str(s.root))
+    i2t = ref_env.model.IM2TEXT(embed_dim=D, middle_dim=48, output_dim=D, n_layer=2)
+    rf = ref_env.model.CrossFormer(q_dim=D, k_dim=D, v_dim=D, num_layers=3)
+    tc = ref_env.model.CrossFormer(q_dim=D, k_dim=D, v_dim=D, num_layers=3)
+    with _Capture() as cap, torch.no_grad(), _run_in(s.scratch):
+        ref_eval.evaluate_coco(_Wrap(s.m), i2t, rf, tc, s.database, s.args,
+                               TorchLoader(q_ds, batch_size=4))
+    ref_metrics = _parse_eval_lines(cap.messages)
+
+    from keds_tpu.data.datasets import CsvCOCO as JCsvCOCO
+
+    ctx = _make_ctx(s)
+    jq = JLoader(JCsvCOCO(transforms=s.t_val, transforms_region=s.t_region,
+                          root=str(s.root)), 4)
+    ours = jev.evaluate_coco(ctx, jq, epochs=range(1, 26))
+    _compare(ref_metrics, ours, n_cells=25 * 3)
 
 
 def test_fashion_reference_crashes_as_committed(ref_env, tmp_path):
