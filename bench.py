@@ -283,7 +283,11 @@ def bench_train(args) -> None:
     cfg = mclip.VIT_L_14
     log(f"train bench: batch={batch} db_rows={db_rows} iters={iters}")
     clip_params, heads, db = ge._build(cfg, db_rows=db_rows, dtype=jnp.bfloat16)
-    retriever = Retriever(db, backend="xla")
+    # --retrieval selects the train-step search backend exactly as the train
+    # CLI's --retrieval-backend does (load_database); approx trades the
+    # exact neighbor scan for the hardware ANN (accuracy tables in
+    # BENCH_NOTES round-3) inside the step.
+    retriever = Retriever(db, backend=args.retrieval)
     ccfg = Config(lr=1e-4, beta1=0.9, beta2=0.98, eps=1e-6, wd=0.1, warmup=10000)
     opt, _ = make_optimizer(ccfg, total_steps=600_000)
     opt_state = opt.init(heads)
