@@ -142,12 +142,16 @@ class ComposedQueryEngine:
     # -- corpus -------------------------------------------------------------
     def encode_corpus(self, image_batches: Iterable) -> np.ndarray:
         """Encode target images into unit-norm features.  All batches are
-        dispatched before any result is fetched (pipelined)."""
+        dispatched before any result is fetched (pipelined).  Fetches go
+        through ``fetch_global`` so batch-sharded outputs also assemble on a
+        multi-process mesh (identical single-host behavior)."""
+        from keds_tpu.parallel.mesh import fetch_global
+
         outs = []
         for b in image_batches:
             x, n = self._shard(jnp.asarray(b))
             outs.append(self._encode(self.clip_c, x)[:n])
-        return np.concatenate([np.asarray(o.astype(jnp.float32)) for o in outs])
+        return np.concatenate([fetch_global(o.astype(jnp.float32)) for o in outs])
 
     # -- queries ------------------------------------------------------------
     def _compose_device(self, image_batches: Sequence, text_batches: Sequence):
@@ -171,22 +175,29 @@ class ComposedQueryEngine:
     def compose(self, image_batches: Sequence, text_batches: Sequence) -> np.ndarray:
         """Composed query features for (reference image, prompt-with-*) pairs,
         pipelined across batches."""
+        from keds_tpu.parallel.mesh import fetch_global
+
         outs = [f[:n] for f, n in self._compose_device(image_batches, text_batches)]
-        return np.concatenate([np.asarray(o.astype(jnp.float32)) for o in outs])
+        return np.concatenate([fetch_global(o.astype(jnp.float32)) for o in outs])
 
     # -- device-side corpus ranking ------------------------------------------
     def corpus_to_device(self, corpus: np.ndarray) -> DeviceCorpus:
         """Place an encoded corpus in device HBM, row-sharded over the mesh
-        (the serving analog of KnowledgeDB.shard_over)."""
-        arr = jnp.asarray(np.asarray(corpus, np.float32))
-        n = int(arr.shape[0])
+        (the serving analog of KnowledgeDB.shard_over).  Padding happens on
+        host so the placement is a single host->global device_put (every
+        process holds the full corpus, so the replicated-input form works
+        across processes too)."""
+        host = np.asarray(corpus, np.float32)
+        n = int(host.shape[0])
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             pad = (-n) % self.mesh.shape["data"]
             if pad:
-                arr = jnp.pad(arr, ((0, pad), (0, 0)))
-            arr = jax.device_put(arr, NamedSharding(self.mesh, P("data", None)))
+                host = np.pad(host, ((0, pad), (0, 0)))
+            arr = jax.device_put(host, NamedSharding(self.mesh, P("data", None)))
+        else:
+            arr = jnp.asarray(host)
         return DeviceCorpus(arr, n)
 
     def _rank_fn(self, topn: int, n_real: int):
@@ -218,10 +229,12 @@ class ComposedQueryEngine:
         host path (fine at demo scale, equality-tested against the device
         path)."""
         if isinstance(corpus, DeviceCorpus):
+            from keds_tpu.parallel.mesh import fetch_global
+
             ranked = [(*self.rank(f, corpus, topn), n)
                       for f, n in self._compose_device(image_batches, text_batches)]
-            scores = np.concatenate([np.asarray(s)[:n] for s, _, n in ranked])
-            idx = np.concatenate([np.asarray(i)[:n] for _, i, n in ranked])
+            scores = np.concatenate([fetch_global(s)[:n] for s, _, n in ranked])
+            idx = np.concatenate([fetch_global(i)[:n] for _, i, n in ranked])
             return scores, idx.astype(np.int64)
         q = self.compose(image_batches, text_batches)
         sims = q @ np.asarray(corpus, np.float32).T

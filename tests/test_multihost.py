@@ -234,3 +234,118 @@ def test_two_process_train_step_and_eval_corpus():
         assert "e2e train step + eval corpus OK" in out, out
         losses.add(out.split("loss ")[-1].split(")")[0])
     assert len(losses) == 1, losses  # identical replicated loss on both ranks
+
+
+CHILD_SERVE = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from keds_tpu.config import Config
+from keds_tpu.parallel.mesh import make_mesh, maybe_init_distributed
+
+cfg = Config(distributed=True, dist_url=os.environ["TEST_DIST_URL"])
+maybe_init_distributed(cfg)
+assert jax.process_count() == 2
+
+import numpy as np
+import jax.numpy as jnp
+
+from keds_tpu.engine import ComposedQueryEngine
+from keds_tpu.models import clip as mclip, heads as mheads
+from keds_tpu.models.composition import FusionHeads
+from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+
+D = 32
+ccfg = mclip.ClipConfig(
+    embed_dim=D, image_resolution=32, vision_layers=1, vision_width=64,
+    vision_patch_size=16, transformer_width=D, transformer_heads=1,
+    transformer_layers=1,
+)
+params = mclip.init_clip(jax.random.key(0), ccfg)
+k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+heads = FusionHeads(
+    img2text=mheads.init_im2text(k1, D, 24, D),
+    retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=2),
+    text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=2),
+)
+rng_np = np.random.default_rng(0)
+db = KnowledgeDB.from_arrays(rng_np.standard_normal((64, D)),
+                             rng_np.standard_normal((64, D)),
+                             dtype=jnp.float32)
+corpus = rng_np.standard_normal((37, D)).astype(np.float32)  # pads to 40
+corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+
+mesh = make_mesh()
+assert mesh.devices.size == 4
+
+db_s = KnowledgeDB.from_arrays(np.asarray(db.image_db), np.asarray(db.text_db),
+                               dtype=jnp.float32, normalize=False).shard_over(mesh)
+eng = ComposedQueryEngine(
+    params, ccfg, heads, db_s,
+    retriever=Retriever(db_s, mesh=mesh, sharded=True),
+    db_topk=8, compute_dtype=jnp.float32, mesh=mesh, encode_chunk=None,
+)
+dc = eng.corpus_to_device(corpus)
+
+# per-rank local query batch (2 local devices x 2 rows)
+rank = jax.process_index()
+def local_q(r):
+    g = np.random.default_rng(300 + r)
+    return g.standard_normal((4, 32, 32, 3)).astype(np.float32)
+text = np.zeros((4, 77), np.int32)
+text[:, :6] = [49406, 320, 1125, 539, 265, 49407]
+scores, idx = eng.search([local_q(rank)], [jnp.asarray(text)], dc, topn=5)
+
+# single-replica reference on the assembled global batch
+eng_l = ComposedQueryEngine(params, ccfg, heads, db, db_topk=8,
+                            compute_dtype=jnp.float32, encode_chunk=None)
+q_g = np.concatenate([local_q(0), local_q(1)])
+text_g = np.concatenate([text, text])
+s_l, i_l = eng_l.search([jnp.asarray(q_g)], [jnp.asarray(text_g)], corpus,
+                        topn=5)
+assert scores.shape == (8, 5) and idx.shape == (8, 5), (scores.shape, idx.shape)
+np.testing.assert_allclose(scores, s_l, rtol=1e-4, atol=1e-5)
+assert (idx < 37).all()  # padding rows never surface
+match = np.mean(idx == i_l)
+assert match > 0.95, match  # only exact score ties may reorder
+
+# corpus encode across processes assembles globally too
+enc_2p = eng.encode_corpus([local_q(rank)])
+assert enc_2p.shape == (8, D)  # global batch, both ranks' rows
+
+print(f"rank {jax.process_index()}: 2-process engine serving OK "
+      f"(top1 {idx[0, 0]})")
+"""
+
+
+def test_two_process_engine_serving():
+    """Mesh SERVING across processes: the composed-query engine with a
+    row-sharded DB + device-ranked sharded corpus must produce the
+    single-replica results on per-rank query batches (and assemble
+    batch-sharded outputs via fetch_global on every host)."""
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base["PYTHONPATH"] = str(REPO_ROOT) + os.pathsep + env_base.get("PYTHONPATH", "")
+    env_base["TEST_DIST_URL"] = f"tcp://127.0.0.1:{port}"
+    env_base["JAX_PLATFORMS"] = "cpu"
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env_base["WORLD_SIZE"] = "2"
+    procs = []
+    for rank in range(2):
+        env = dict(env_base)
+        env["RANK"] = str(rank)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", CHILD_SERVE], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=str(REPO_ROOT),
+        ))
+    outs = [p.communicate(timeout=300) for p in procs]
+    top1 = set()
+    for rank, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        assert "2-process engine serving OK" in out, out
+        top1.add(out.split("top1 ")[-1].split(")")[0])
+    assert len(top1) == 1, top1  # identical global results on both ranks
