@@ -186,9 +186,11 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
         choices=["auto", "xla", "pallas", "int8", "approx"],
         help="approx: TPU hardware partial-reduce ANN with exact re-rank of "
              "4x-oversampled candidates (top-16 recall 0.995 on Gaussian AND "
-             "0.993-0.995 on realistically correlated corpora, 200k rows); "
-             "int8: int8-MXU candidate scan + true-row rescore (1.0 overlap "
-             "at CLIP-like correlation; BENCH_NOTES round-3 accuracy tables)")
+             "0.993-0.995 on realistically correlated corpora, 200k rows; "
+             "also selects the in-train-step search: +18%% step throughput, "
+             "opt-in); int8: int8-MXU candidate scan + true-row rescore "
+             "(1.0 overlap at CLIP-like correlation; the HBM-footprint "
+             "mode — BENCH_NOTES round-3 accuracy tables)")
     add("--quant-towers", type=str, default="none", choices=["none", "int8"],
         help="int8: W8A8-quantize the CLIP tower GEMMs for inference "
              "(4x smaller weights; ~0.999 embedding cosine and 0.97 top-16 "

@@ -64,9 +64,9 @@ class ComposedQueryEngine:
         image encode runs in chunks of this size inside the encode program
         (encode is fastest at b32 on v5e while retrieval/text-tower
         utilization grows with batch — the macro-batch schedule;
-        together with the two-program split this serves 592 q/s/chip
-        bf16-exact at the flagship size, BENCH_NOTES.md).  None disables
-        chunking."""
+        together with the two-program split this serves 686 q/s/chip
+        bf16-exact at the flagship size, BENCH_NOTES.md round-3).  None
+        disables chunking."""
         cast = lambda a: jnp.asarray(a, compute_dtype) if jnp.issubdtype(  # noqa: E731
             np.asarray(a).dtype, np.floating) else jnp.asarray(a)
         self.cfg = cfg

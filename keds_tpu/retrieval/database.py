@@ -113,7 +113,21 @@ class KnowledgeDB:
             )
         db = cls.load(img, txt, names, dtype)
         if cfg.database_path:
-            db.quant = _load_int8_artifacts(cfg.database_path)
+            quant = _load_int8_artifacts(cfg.database_path)
+            if quant is not None:
+                # Artifacts must describe THIS float DB: stale files from a
+                # rebuild with a different --size/--seed, or a --db-*-file
+                # override pointing elsewhere, would silently return wrong
+                # neighbors (row indices refer to a different sampling).
+                if any(quant[m][0].shape != db.image_db.shape
+                       or quant[m][1].shape[0] != db.size
+                       for m in ("image", "text")):
+                    logging.warning(
+                        "ignoring int8 artifacts in %s: shape mismatch vs "
+                        "the loaded DB (%s rows) — rebuild with "
+                        "build_database --int8", cfg.database_path, db.size)
+                    quant = None
+            db.quant = quant
         return db
 
     def shard_over(self, mesh: jax.sharding.Mesh, axis: str = "data") -> "KnowledgeDB":
@@ -126,25 +140,15 @@ class KnowledgeDB:
         n = self.size
         n_pad = (-n) % w
         sharding = NamedSharding(mesh, P(axis, None))
-        sharding_1d = NamedSharding(mesh, P(axis))
 
         def place(a):
             a = jnp.pad(a, ((0, n_pad), (0, 0))) if n_pad else a
             return jax.device_put(a, sharding)
 
-        quant = None
-        if self.quant is not None:
-            def place_q(pair):
-                q8, scale = pair
-                if n_pad:
-                    q8 = jnp.pad(q8, ((0, n_pad), (0, 0)))
-                    scale = jnp.pad(scale, ((0, n_pad),))
-                return (jax.device_put(q8, sharding),
-                        jax.device_put(scale, sharding_1d))
-
-            quant = {k: place_q(v) for k, v in self.quant.items()}
+        # quant (host-side artifacts, unpadded) passes through: the
+        # Retriever pads + places it iff the int8 backend is selected.
         return KnowledgeDB(place(self.image_db), place(self.text_db),
-                           self.names, quant)
+                           self.names, self.quant)
 
 
 def _first_existing(base: str, candidates: List[str]) -> Optional[str]:
@@ -158,15 +162,17 @@ def _first_existing(base: str, candidates: List[str]) -> Optional[str]:
 def _load_int8_artifacts(base: str) -> Optional[dict]:
     """Pre-quantized int8 index artifacts written by ``tools/
     build_database.py --int8`` (``{image,text}_db_int8.npy`` +
-    ``*_db_scale.npy``).  Returns None unless all four files exist."""
+    ``*_db_scale.npy``).  Returns None unless all four files exist.
+    Arrays stay host-side (mmap) — the Retriever moves them to device only
+    when the int8 backend is actually selected."""
     out = {}
     for name in ("image", "text"):
         qf = os.path.join(base, f"{name}_db_int8.npy")
         sf = os.path.join(base, f"{name}_db_scale.npy")
         if not (os.path.isfile(qf) and os.path.isfile(sf)):
             return None
-        out[name] = (jnp.asarray(np.load(qf)),
-                     jnp.asarray(np.load(sf), jnp.float32))
+        out[name] = (np.load(qf, mmap_mode="r"),
+                     np.asarray(np.load(sf), np.float32))
     logging.info("loaded pre-quantized int8 DB artifacts from %s", base)
     return out
 
@@ -198,20 +204,29 @@ class Retriever:
             # Scoring runs on the int8 MXU with exact rescoring of the
             # oversampled candidates against the resident full-precision
             # rows.  Pre-quantized artifacts on the DB (build_database
-            # --int8) are used as-is; otherwise quantize both modalities
-            # once here.  When sharded, quantized values/scales follow the
-            # DB's row sharding (shard_over already placed db.quant).
+            # --int8, kept host-side/mmap until here) are padded to the DB's
+            # (possibly sharded) row count and placed; otherwise quantize
+            # both modalities once on device.  Either way the quantized
+            # values/scales follow the DB's row sharding.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if db.quant is not None:
-                self._int8 = dict(db.quant)
-            else:
-                for name, arr in (("image", db.image_db), ("text", db.text_db)):
+            n_rows = int(db.image_db.shape[0])  # includes shard padding
+            for name, arr in (("image", db.image_db), ("text", db.text_db)):
+                if db.quant is not None:
+                    q8 = np.asarray(db.quant[name][0])
+                    scale = np.asarray(db.quant[name][1], np.float32)
+                    pad = n_rows - q8.shape[0]
+                    if pad:
+                        q8 = np.pad(q8, ((0, pad), (0, 0)))
+                        scale = np.pad(scale, ((0, pad),))
+                else:
                     q8, scale = quantize_int8(arr)
-                    if sharded:
-                        q8 = jax.device_put(q8, NamedSharding(mesh, P(axis_name, None)))
-                        scale = jax.device_put(scale, NamedSharding(mesh, P(axis_name)))
-                    self._int8[name] = (q8, scale)
+                if sharded:
+                    q8 = jax.device_put(q8, NamedSharding(mesh, P(axis_name, None)))
+                    scale = jax.device_put(scale, NamedSharding(mesh, P(axis_name)))
+                else:
+                    q8, scale = jnp.asarray(q8), jnp.asarray(scale)
+                self._int8[name] = (q8, scale)
 
     def quant_arrays(self):
         """The int8 index arrays ((img_q8, img_scale), (txt_q8, txt_scale)),

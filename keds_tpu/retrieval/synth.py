@@ -49,19 +49,13 @@ def correlated_embeddings(
     """Unit-norm (n, dim) float32 embeddings: shared cone direction +
     cluster centers + power-law anisotropic within-cluster noise.
 
-    ``basis`` lets callers draw queries and corpus from the SAME geometry
-    (pass the second element of a previous call's ``return_basis`` result);
-    by default a fresh cone/basis/centers set is drawn from ``rng``.
+    ``basis`` lets callers draw queries and corpus from the SAME geometry —
+    pass a :func:`shared_geometry` result; by default a fresh
+    cone/basis/centers set is drawn from ``rng``.
     """
-    if basis is not None:
-        mu, U, lam, centers = basis
-    else:
-        lam = np.arange(1, dim + 1, dtype=np.float64) ** -alpha
-        U = np.linalg.qr(rng.standard_normal((dim, dim)))[0]
-        mu = rng.standard_normal(dim)
-        mu /= np.linalg.norm(mu)
-        centers = (rng.standard_normal((n_clusters, dim)) * lam) @ U.T
-        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    if basis is None:
+        basis = shared_geometry(rng, dim, n_clusters=n_clusters, alpha=alpha)
+    mu, U, lam, centers = basis
     assign = rng.integers(0, len(centers), n)
     noise = (rng.standard_normal((n, dim)) * lam) @ U.T
     noise /= np.linalg.norm(noise, axis=1, keepdims=True)
@@ -82,6 +76,36 @@ def shared_geometry(rng: np.random.Generator, dim: int, *,
     centers = (rng.standard_normal((n_clusters, dim)) * lam) @ U.T
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     return mu, U, lam, centers
+
+
+def inject_outlier_channels(params: dict, *, towers=("visual", "text"),
+                            n_channels: int = 4, magnitude: float = 20.0,
+                            seed: int = 4) -> dict:
+    """Return a copy of a CLIP param pytree with ``n_channels`` random MLP
+    hidden channels scaled by ``magnitude`` (and the matching proj rows
+    shrunk to keep output magnitudes sane).
+
+    Trained transformers develop a few huge-magnitude hidden channels — the
+    classic per-token-int8 hazard; random-init weights have none, which
+    flatters quantization.  The resulting outlier model is its own f32
+    reference: quantization accuracy is measured against ITS outputs.
+    Shared by ``tools/quant_accuracy.py`` and the regression tests so the
+    recipe the BENCH_NOTES tables describe is the one the tests pin."""
+    import jax.numpy as jnp
+
+    out = dict(params)
+    for tower in towers:
+        blocks = dict(out[tower]["blocks"])
+        fc = np.array(blocks["fc_w"], np.float32)   # mutable copies
+        pj = np.array(blocks["proj_w"], np.float32)
+        cols = np.random.default_rng(seed).integers(0, fc.shape[-1], n_channels)
+        fc[..., cols] *= magnitude
+        pj[..., cols, :] /= magnitude
+        dtype = np.asarray(blocks["fc_w"]).dtype
+        out[tower] = {**out[tower],
+                      "blocks": {**blocks, "fc_w": jnp.asarray(fc, dtype),
+                                 "proj_w": jnp.asarray(pj, dtype)}}
+    return out
 
 
 def structured_images(rng: np.random.Generator, n: int, res: int) -> np.ndarray:

@@ -74,7 +74,8 @@ def main(argv=None) -> None:
     loader = DataLoader(dataset, args.batch_size, num_workers=args.workers)
 
     # chunked encode: b32 chunks inside one program — the macro-batch
-    # schedule measures 659 img/s vs 631 flat for ViT-L on v5e (BENCH_NOTES)
+    # schedule measures 786 img/s (round-3 encode) vs flat batches for
+    # ViT-L on v5e (BENCH_NOTES)
     enc_img = jax.jit(
         lambda cp, im: mclip.encode_image_chunked(cp, cfg, im,
                                                   mclip.DEFAULT_ENCODE_CHUNK))

@@ -138,28 +138,11 @@ def bench_int8_towers(args) -> dict:
             outs.append(f / np.linalg.norm(f, axis=1, keepdims=True))
         return np.concatenate(outs)
 
+    from keds_tpu.retrieval.synth import inject_outlier_channels
+
     out = {}
     for variant in ("plain", "outlier"):
-        p = params
-        if variant == "outlier":
-            # Trained transformers develop a few huge-magnitude hidden
-            # channels (the classic per-token-int8 hazard; random-init
-            # weights have none, which flatters quantization).  Inject them:
-            # scale 4 random fc output columns by 20x (and shrink the
-            # matching proj rows to keep output magnitudes sane).  The
-            # resulting outlier model is its own f32 reference — we compare
-            # its int8-quantized twin against it.
-            p = params
-            for tower in ("visual", "text"):
-                blocks = dict(p[tower]["blocks"])
-                fc = np.array(blocks["fc_w"], np.float32)  # mutable copies
-                pj = np.array(blocks["proj_w"], np.float32)
-                cols = np.random.default_rng(4).integers(0, fc.shape[-1], 4)
-                fc[..., cols] *= 20.0
-                pj[..., cols, :] /= 20.0
-                blocks = {**blocks, "fc_w": jnp.asarray(fc, dtype),
-                          "proj_w": jnp.asarray(pj, dtype)}
-                p = {**p, tower: {**p[tower], "blocks": blocks}}
+        p = params if variant == "plain" else inject_outlier_channels(params)
         pq = quantize_clip_blocks(p)
         f_ref = embed(p, query_imgs)
         f_q = embed(pq, query_imgs)
@@ -189,7 +172,10 @@ def bench_pipeline(args) -> dict:
     from keds_tpu.retrieval.synth import (correlated_embeddings,
                                           shared_geometry, structured_images)
 
-    cfg = mclip.VIT_L_14
+    cfg = mclip.VIT_L_14 if not args.quick else mclip.ClipConfig(
+        embed_dim=64, image_resolution=64, vision_layers=3, vision_width=128,
+        vision_patch_size=16, transformer_width=64, transformer_heads=2,
+        transformer_layers=3)
     dtype = jnp.bfloat16
     rows = args.rows
     batch = 64

@@ -159,6 +159,16 @@ def test_prequantized_artifacts_are_loaded_and_used(tmp_path):
     v2, _ = mips_topk_int8(q, *r2._int8["image"], 8, oversample=1)
     assert not np.allclose(np.asarray(v1), np.asarray(v2))
 
+    # STALE artifacts (row-count mismatch vs the float DB, e.g. a rebuild
+    # without --int8) must be ignored with a warning, not silently used
+    q8 = np.load(out / "image_db_int8.npy")
+    np.save(out / "image_db_int8.npy", q8[:32])
+    db3 = KnowledgeDB.from_config(cfg, dtype=jnp.float32)
+    assert db3.quant is None
+    np.testing.assert_allclose(  # and the backend falls back to requantizing
+        np.asarray(Retriever(db3, backend="int8")._int8["image"][0]),
+        np.asarray(quantize_int8(db3.image_db)[0]))
+
 
 def test_int8_backend_correct_under_jit_with_traced_db_args():
     """Regression (round-2 review): inside jit the DB enters as tracers, so

@@ -140,16 +140,10 @@ def test_int8_tower_cosine_with_outlier_channels():
     channels (the known hazard of trained transformers — random-init weights
     have none, which flatters quantization) on structured images (spatially
     correlated activations, not pixel noise)."""
+    from keds_tpu.retrieval.synth import inject_outlier_channels
+
     params = mclip.init_clip(jax.random.key(0), CFG, dtype=jnp.float32)
-    blocks = dict(params["visual"]["blocks"])
-    fc = np.array(blocks["fc_w"], np.float32)
-    pj = np.array(blocks["proj_w"], np.float32)
-    cols = np.random.default_rng(4).integers(0, fc.shape[-1], 4)
-    fc[..., cols] *= 20.0
-    pj[..., cols, :] /= 20.0
-    params["visual"] = {**params["visual"],
-                        "blocks": {**blocks, "fc_w": jnp.asarray(fc),
-                                   "proj_w": jnp.asarray(pj)}}
+    params = inject_outlier_channels(params, towers=("visual",))
     pq = quantize_clip_blocks(params)
     x = jnp.asarray(structured_images(np.random.default_rng(2), 16, 32))
     f = np.asarray(mclip.encode_image(params, CFG, x), np.float64)
