@@ -140,6 +140,14 @@ def main(argv=None) -> None:
     topn = min(cfg.topn, len(names))
     t0 = time.time()
     n_done = 0
+    # Multi-process serving: every process feeds the same global batches
+    # (the engine's global-feed contract) and computes identical results;
+    # only the primary writes them so ranks sharing a filesystem don't
+    # clobber one file.
+    import jax
+
+    if jax.process_index() != 0:
+        out_path = os.devnull
     with open(out_path, "w") as out:
         for chunk, (imgs, text) in zip(chunks, q_loader):
             imgs = _pad(np.asarray(imgs), macro)

@@ -135,9 +135,13 @@ class ComposedQueryEngine:
     def _shard(self, x: jax.Array):
         if self.mesh is None:
             return x, x.shape[0]
-        from keds_tpu.parallel.mesh import shard_batch
+        # Serving feeds (corpus dirs, query files) iterate identically on
+        # every process — global-batch form, same reasoning as the
+        # evaluators (per-rank shard_batch would duplicate rows and
+        # misalign result names across hosts).
+        from keds_tpu.parallel.mesh import shard_global_batch
 
-        return shard_batch(self.mesh, x)
+        return shard_global_batch(self.mesh, x)
 
     # -- corpus -------------------------------------------------------------
     def encode_corpus(self, image_batches: Iterable) -> np.ndarray:

@@ -133,9 +133,13 @@ class EvalContext:
         return self._encode_text(self.clip_c, jnp.asarray(text))
 
     def _shard_batch(self, x: jax.Array):
-        from keds_tpu.parallel.mesh import shard_batch
+        # Eval loaders iterate the FULL dataset on every process (names and
+        # labels are host-side lists in dataset order), so the feed is the
+        # global-batch form — per-rank shard_batch would duplicate rows and
+        # misalign names on a multi-process mesh.
+        from keds_tpu.parallel.mesh import shard_global_batch
 
-        return shard_batch(self.mesh, x)
+        return shard_global_batch(self.mesh, x)
 
     # -- cached query-side precomputation -----------------------------------
     def image_features(self, images) -> jax.Array:

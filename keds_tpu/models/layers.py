@@ -175,7 +175,12 @@ def transformer_seq_padded(
     real row's softmax and the slice drops them."""
     S = x.shape[1]
     pad = (-S) % multiple
-    if pad == 0:
+    if pad == 0 or flash_enabled():
+        # No padding needed — or the opt-in fused kernel is active, which
+        # pads to a 128 multiple and masks ``s_real`` internally; padding
+        # here would both grow its tile and (worse) demote the dispatch to
+        # the arbitrary-mask XLA path (causal=None), silently turning
+        # KEDS_TPU_FLASH=1 into a no-op for the vision tower.
         return transformer(x, blocks, n_heads, causal=False)
     Sp = S + pad
     x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))

@@ -143,6 +143,38 @@ def shard_batch(mesh: Mesh, x, axis_name: str = "data"):
     return arr, n * jax.process_count()
 
 
+def shard_global_batch(mesh: Mesh, x, axis_name: str = "data"):
+    """Place a batch sharded over the mesh axis when EVERY process holds the
+    SAME full global batch; returns (array, real_count).
+
+    This is the eval/serving feed: corpus and query loaders iterate the full
+    dataset identically on each host (decode is duplicated, device compute
+    is split), so rows keep their global order and host-side ``names`` lists
+    stay aligned.  Padding (last-row repeat) lands at the global tail where
+    callers trim ``[:real_count]``.  Contrast :func:`shard_batch`, the
+    training feed, where each process supplies only its own per-rank rows
+    (the reference's DDP DistributedSampler model, src/data.py:797).
+
+    Single process: identical to :func:`shard_batch`.  Multi process: the
+    array is assembled with ``make_array_from_callback`` — every process can
+    serve any of its addressable shards from the replicated host batch, so
+    no assumption about device order in the mesh is needed.
+    """
+    import numpy as np
+
+    n = x.shape[0]
+    if jax.process_count() == 1:
+        return shard_batch(mesh, x, axis_name)
+    xn = np.asarray(x)
+    w = mesh.shape[axis_name]
+    pad = (-n) % w
+    if pad:
+        xn = np.concatenate([xn, np.repeat(xn[-1:], pad, axis=0)])
+    arr = jax.make_array_from_callback(
+        xn.shape, NamedSharding(mesh, P(axis_name)), lambda idx: xn[idx])
+    return arr, n
+
+
 def fetch_global(x) -> "object":
     """Device array -> host numpy, across processes.  Fully-addressable
     arrays (single host) fetch directly; globally-sharded ones are gathered

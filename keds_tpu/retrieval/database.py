@@ -119,7 +119,9 @@ class KnowledgeDB:
                 # rebuild with a different --size/--seed, or a --db-*-file
                 # override pointing elsewhere, would silently return wrong
                 # neighbors (row indices refer to a different sampling).
-                if any(quant[m][0].shape != db.image_db.shape
+                ref_shapes = {"image": db.image_db.shape,
+                              "text": db.text_db.shape}
+                if any(quant[m][0].shape != ref_shapes[m]
                        or quant[m][1].shape[0] != db.size
                        for m in ("image", "text")):
                     logging.warning(

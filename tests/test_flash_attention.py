@@ -79,6 +79,46 @@ def test_tower_uses_flash_when_forced(monkeypatch):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_vision_tower_uses_flash_despite_seq_padding(monkeypatch):
+    """Regression (round-3 review): the sublane seq-padding path
+    (transformer_seq_padded) must NOT demote KEDS_TPU_FLASH=1 to the
+    arbitrary-mask XLA branch — the fused kernel pads to 128 and masks
+    s_real internally, so a non-multiple-of-8 sequence (here S=10, like
+    ViT-L's S=257) still takes the flash path and matches XLA."""
+    from keds_tpu.models import clip as mclip
+    from keds_tpu.models import layers
+
+    cfg = mclip.ClipConfig(
+        embed_dim=32, image_resolution=48, vision_layers=2, vision_width=64,
+        vision_patch_size=16, transformer_width=32, transformer_heads=2,
+        transformer_layers=2,
+    )  # vision S = (48/16)^2 + 1 = 10, not a multiple of 8
+    params = mclip.init_clip(jax.random.key(1), cfg)
+    imgs = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, 48, 48, 3)), jnp.float32)
+    baseline = mclip.encode_image(params, cfg, imgs)
+    monkeypatch.setenv("KEDS_TPU_FLASH", "1")
+    layers.flash_enabled.cache_clear()
+    import keds_tpu.ops.attention as attn
+
+    orig = attn.flash_attention
+    calls = []
+
+    def interp(q, k, v, causal=False, interpret=False):
+        calls.append(q.shape)
+        return orig(q, k, v, causal, True)
+
+    monkeypatch.setattr(attn, "flash_attention", interp)
+    try:
+        flashed = mclip.encode_image(params, cfg, imgs)
+    finally:
+        layers.flash_enabled.cache_clear()
+    assert calls, "vision tower never dispatched to the flash kernel"
+    assert all(s[2] == 10 for s in calls), calls  # fed UNPADDED sequences
+    np.testing.assert_allclose(np.asarray(flashed), np.asarray(baseline),
+                               atol=2e-5, rtol=2e-5)
+
+
 @pytest.mark.parametrize("group", [1, 2, 4, 8])
 def test_flash_group_blocking_matches_reference(group):
     """Head-group blocking (round-2: G heads per kernel instance) must be

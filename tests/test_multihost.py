@@ -184,18 +184,18 @@ leaf_l = np.asarray(heads2_l.img2text["fc_out"]["w"])
 np.testing.assert_allclose(leaf2p, leaf_l, rtol=1e-4, atol=1e-5)
 
 # ---- 2-process eval corpus pass -------------------------------------------
+# Eval loaders iterate the FULL dataset on every process (names stay
+# aligned host-side); the global-feed path shards rows across all devices.
+# 7 rows exercises the ragged tail (padded to the 4-device axis, trimmed).
 from keds_tpu.evalkit.evaluators import EvalContext
 
 ctx = EvalContext(clip_params=params, cfg=ccfg, retriever=retr,
                   compute_dtype=jnp.float32, mesh=mesh, db_topk=8)
-g = np.random.default_rng(200 + rank)
-local_imgs = g.standard_normal((4, 32, 32, 3)).astype(np.float32)
-corpus_2p = fetch_global(ctx.image_features(jnp.asarray(local_imgs)))
+imgs_g = np.random.default_rng(200).standard_normal(
+    (7, 32, 32, 3)).astype(np.float32)
+corpus_2p = fetch_global(ctx.image_features(jnp.asarray(imgs_g)))
+assert corpus_2p.shape[0] == 7, corpus_2p.shape
 
-imgs_g = np.concatenate([
-    np.random.default_rng(200).standard_normal((4, 32, 32, 3)),
-    np.random.default_rng(201).standard_normal((4, 32, 32, 3)),
-]).astype(np.float32)
 ctx_local = EvalContext(clip_params=params, cfg=ccfg, retriever=retr_local,
                         compute_dtype=jnp.float32, db_topk=8)
 corpus_l = np.asarray(ctx_local.image_features(jnp.asarray(imgs_g)))
@@ -290,31 +290,29 @@ eng = ComposedQueryEngine(
 )
 dc = eng.corpus_to_device(corpus)
 
-# per-rank local query batch (2 local devices x 2 rows)
-rank = jax.process_index()
-def local_q(r):
-    g = np.random.default_rng(300 + r)
-    return g.standard_normal((4, 32, 32, 3)).astype(np.float32)
-text = np.zeros((4, 77), np.int32)
-text[:, :6] = [49406, 320, 1125, 539, 265, 49407]
-scores, idx = eng.search([local_q(rank)], [jnp.asarray(text)], dc, topn=5)
+# Serving feed: EVERY process iterates the same query file/corpus dir —
+# the global-feed contract (per-rank feeds would duplicate rows and
+# misalign result names).  7 queries exercises the ragged tail.
+q_g = np.random.default_rng(300).standard_normal(
+    (7, 32, 32, 3)).astype(np.float32)
+text_g = np.zeros((7, 77), np.int32)
+text_g[:, :6] = [49406, 320, 1125, 539, 265, 49407]
+scores, idx = eng.search([q_g], [jnp.asarray(text_g)], dc, topn=5)
 
-# single-replica reference on the assembled global batch
+# single-replica reference on the same batch
 eng_l = ComposedQueryEngine(params, ccfg, heads, db, db_topk=8,
                             compute_dtype=jnp.float32, encode_chunk=None)
-q_g = np.concatenate([local_q(0), local_q(1)])
-text_g = np.concatenate([text, text])
 s_l, i_l = eng_l.search([jnp.asarray(q_g)], [jnp.asarray(text_g)], corpus,
                         topn=5)
-assert scores.shape == (8, 5) and idx.shape == (8, 5), (scores.shape, idx.shape)
+assert scores.shape == (7, 5) and idx.shape == (7, 5), (scores.shape, idx.shape)
 np.testing.assert_allclose(scores, s_l, rtol=1e-4, atol=1e-5)
 assert (idx < 37).all()  # padding rows never surface
 match = np.mean(idx == i_l)
 assert match > 0.95, match  # only exact score ties may reorder
 
-# corpus encode across processes assembles globally too
-enc_2p = eng.encode_corpus([local_q(rank)])
-assert enc_2p.shape == (8, D)  # global batch, both ranks' rows
+# corpus encode across processes keeps global order + full row set
+enc_2p = eng.encode_corpus([q_g])
+assert enc_2p.shape == (7, D)
 
 print(f"rank {jax.process_index()}: 2-process engine serving OK "
       f"(top1 {idx[0, 0]})")
