@@ -191,9 +191,19 @@ class TarShardDataset:
         self.workers = workers
         self.worker_processes = worker_processes
         self.epoch = 0
+        self._pool = None       # persistent decode pool (see _get_pool)
+        self._pool_fn = None
         global_batch = batch_size * world_size
         self.num_batches = train_num_samples // global_batch
         self.num_samples = self.num_batches * global_batch
+
+    def __getstate__(self):
+        # spawned process workers receive a pickled copy of the dataset
+        # (initargs); the executor itself must not ride along
+        d = dict(self.__dict__)
+        d["_pool"] = None
+        d["_pool_fn"] = None
+        return d
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -213,9 +223,22 @@ class TarShardDataset:
             if self.shuffle_shards:
                 rng.shuffle(shards)
             shards = shards[self.rank::self.world_size]
-
-            def shard_stream() -> Iterator[str]:
-                return iter(shards)
+            if self.world_size > 1 and not self.partial_batches:
+                # Multi-rank training: `rank::world_size` hands ranks UNEQUAL
+                # shard (and sample) counts, so a finite stream would end
+                # early on the short ranks while every rank must produce the
+                # same num_batches — the long rank then blocks forever in a
+                # collective for a step the short rank never issues
+                # (round-3 review finding).  Cycle the rank's shard list so
+                # the epoch budget is always reachable — webdataset's
+                # repeat()+with_epoch semantics (reference data.py:916-953);
+                # some samples may repeat within an epoch on short ranks.
+                def shard_stream() -> Iterator[str]:
+                    while True:
+                        yield from shards
+            else:
+                def shard_stream() -> Iterator[str]:
+                    return iter(shards)
 
         def raw():
             for shard in shard_stream():
@@ -255,19 +278,8 @@ class TarShardDataset:
                 yield self._decode(sample)
             return
         import collections
-        import multiprocessing
-        from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
-        if self.worker_processes:
-            pool = ProcessPoolExecutor(
-                self.workers,
-                mp_context=multiprocessing.get_context("spawn"),
-                initializer=_tar_worker_init, initargs=(self,),
-            )
-            fn = _tar_worker_decode
-        else:
-            pool = ThreadPoolExecutor(self.workers)
-            fn = self._decode
+        pool, fn = self._get_pool()
         window = max(2 * self.batch_size, 4 * self.workers)
         inflight: collections.deque = collections.deque()
         try:
@@ -279,8 +291,42 @@ class TarShardDataset:
                 yield inflight.popleft().result()
         finally:
             # The consumer stops mid-stream at the epoch budget (always, in
-            # resampled mode) — don't block on the queued window, drop it.
-            pool.shutdown(wait=False, cancel_futures=True)
+            # resampled mode) — cancel the queued window but KEEP the pool:
+            # spawning fresh process workers (and re-shipping the caption
+            # map) every epoch costs seconds (round-3 review finding).
+            for f in inflight:
+                f.cancel()
+
+    def _get_pool(self):
+        """Lazily create — and reuse across epochs — the decode pool."""
+        if self._pool is None:
+            import multiprocessing
+            from concurrent.futures import (ProcessPoolExecutor,
+                                            ThreadPoolExecutor)
+
+            if self.worker_processes:
+                self._pool = ProcessPoolExecutor(
+                    self.workers,
+                    mp_context=multiprocessing.get_context("spawn"),
+                    initializer=_tar_worker_init, initargs=(self,),
+                )
+                self._pool_fn = _tar_worker_decode
+            else:
+                self._pool = ThreadPoolExecutor(self.workers)
+                self._pool_fn = self._decode
+        return self._pool, self._pool_fn
+
+    def close(self) -> None:
+        """Shut the persistent decode pool down (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # best-effort; explicit close() preferred
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __iter__(self) -> Iterator[tuple]:
         images: List = []

@@ -100,7 +100,10 @@ class EvalContext:
     def __post_init__(self):
         from keds_tpu.ops.quant import maybe_quantize_clip
 
-        cast = lambda a: jnp.asarray(a, self.compute_dtype) if jnp.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a)  # noqa: E731
+        # dtype probe must NOT fetch device arrays to host (np.asarray on a
+        # remote-resident ViT-L pytree = GBs of sync transfer); every leaf
+        # type here (jax.Array / np.ndarray) carries .dtype directly.
+        cast = lambda a: jnp.asarray(a, self.compute_dtype) if jnp.issubdtype(getattr(a, "dtype", np.asarray(a).dtype), np.floating) else jnp.asarray(a)  # noqa: E731
 
         self.clip_c = maybe_quantize_clip(jax.tree.map(cast, self.clip_params),
                                           self.quant_towers)

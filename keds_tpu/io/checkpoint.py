@@ -84,11 +84,14 @@ def save_train_checkpoint(
     logging.info("saved checkpoint %s (epoch %d)", path, epoch)
 
 
-def load_heads_checkpoint(path: str) -> Tuple[FusionHeads, int]:
+def load_heads_checkpoint(path: str, _ckpt: Optional[dict] = None
+                          ) -> Tuple[FusionHeads, int]:
     """Load the 3 head modules from a reference-format checkpoint
     (reference load_model_without_definition, src/eval_utils.py:59-86 — with
-    its undefined-``sd`` bug repaired)."""
-    ckpt = load_pt(path)
+    its undefined-``sd`` bug repaired).  ``_ckpt`` lets callers that already
+    unpickled the file reuse it (a full ViT-L train checkpoint is ~1.7 GB;
+    re-reading it doubles resume/eval load latency)."""
+    ckpt = _ckpt if _ckpt is not None else load_pt(path)
     heads = FusionHeads(
         img2text=convert.im2text_state_dict_to_pytree(ckpt["state_dict_img2text"]),
         retrieval_fuse=convert.crossformer_state_dict_to_pytree(
@@ -104,10 +107,11 @@ def load_heads_checkpoint(path: str) -> Tuple[FusionHeads, int]:
 
 
 def load_full_checkpoint(path: str):
-    """Load CLIP params + heads (+epoch) from a train checkpoint."""
+    """Load CLIP params + heads (+epoch) from a train checkpoint (one
+    unpickle; the file is read exactly once)."""
     ckpt = load_pt(path)
     clip_params, cfg = convert.clip_state_dict_to_pytree(ckpt["state_dict"])
-    heads, epoch = load_heads_checkpoint(path)
+    heads, epoch = load_heads_checkpoint(path, _ckpt=ckpt)
     return clip_params, cfg, heads, epoch
 
 

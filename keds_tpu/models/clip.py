@@ -135,7 +135,9 @@ def _init_blocks(key: jax.Array, n_layers: int, width: int, dtype) -> dict:
 
 
 def init_clip(key: jax.Array, cfg: ClipConfig, dtype=jnp.float32) -> dict:
-    kv, kt, k1, k2, k3, k4, k5 = jax.random.split(key, 7)
+    # distinct keys per tensor — reusing one key makes e.g. the text pos
+    # embedding and projection exactly correlated (round-3 review finding)
+    kv, kt, k1, k2, k3, k4, k5, kt_pos, kt_proj = jax.random.split(key, 9)
     vw, tw = cfg.vision_width, cfg.transformer_width
     vscale = vw ** -0.5
     patch_dim = cfg.vision_patch_size * cfg.vision_patch_size * 3
@@ -154,11 +156,11 @@ def init_clip(key: jax.Array, cfg: ClipConfig, dtype=jnp.float32) -> dict:
         },
         "text": {
             "tok_emb": (jax.random.normal(k5, (cfg.vocab_size, tw)) * 0.02).astype(dtype),
-            "pos": (jax.random.normal(kt, (cfg.context_length, tw)) * 0.01).astype(dtype),
+            "pos": (jax.random.normal(kt_pos, (cfg.context_length, tw)) * 0.01).astype(dtype),
             "blocks": _init_blocks(kt, cfg.transformer_layers, tw, dtype),
             "ln_final_g": jnp.ones((tw,), dtype),
             "ln_final_b": jnp.zeros((tw,), dtype),
-            "proj": (jax.random.normal(kt, (tw, cfg.embed_dim)) * tw ** -0.5).astype(dtype),
+            "proj": (jax.random.normal(kt_proj, (tw, cfg.embed_dim)) * tw ** -0.5).astype(dtype),
         },
         "logit_scale": jnp.asarray(np.log(1.0 / 0.07), jnp.float32),
     }
@@ -294,6 +296,14 @@ def _text_transformer(params: dict, cfg: ClipConfig, x: jax.Array) -> jax.Array:
 
 def _pool_project(params: dict, x: jax.Array, pool_idx: jax.Array) -> jax.Array:
     t = params["text"]
+    # Clamp: composed splicing pools at EOT+(K-1), which walks off the
+    # 77-token sequence when a TRUNCATED caption's forced EOT sits at the
+    # last slot (the splice pushed it past the end).  Unclamped,
+    # take_along_axis FILLS out-of-bounds gathers with NaN and the query's
+    # feature silently poisons every metric; the reference crashes outright
+    # on the same input (IndexError).  Clamping pools the last kept token —
+    # the nearest defined behavior (PARITY.md).
+    pool_idx = jnp.clip(pool_idx, 0, x.shape[1] - 1)
     pooled = jnp.take_along_axis(x, pool_idx[:, None, None], axis=1)[:, 0, :]
     return jnp.dot(pooled, t["proj"].astype(x.dtype))
 
@@ -454,7 +464,14 @@ def get_visual_composed_features(
     tf = text_feature[:, None, :]
     for i, blk in enumerate(blocks):
         if i == inject:
-            fused = img2text_cross(x, tf, tf)  # (B, 1, vw)
+            # Query with the CLS row only so the fusion is (B, 1, vw) for
+            # EVERY mask_ratio.  At the live call (mask_ratio=1, sequence is
+            # the CLS token alone) this is identical to crossing the full
+            # sequence — the parity-tested case; for mask_ratio<1 the
+            # reference's own branch is shape-undefined (never exercised),
+            # and crossing the full x here would broadcast a corrupted
+            # (B, S, vw) sum into the concatenation.
+            fused = img2text_cross(x[:, :1], tf, tf)  # (B, 1, vw)
             x = jnp.concatenate([x[:, :1] + fused, x[:, 1:]], axis=1)
         x = residual_block(x, blk, cfg.vision_heads, None)
     return _visual_tail(params, x)
@@ -491,6 +508,17 @@ def encode_text_img_vis(
     eot = eot_indices(text, cfg.eot_id)
     toks = img_tokens if isinstance(img_tokens, tuple) else (img_tokens,)
     is_star = (text == split_id).astype(jnp.int32)
+    if not isinstance(text, jax.core.Tracer):
+        # Eager (demo) path: a row with fewer '*'s than image tokens would
+        # make argmax return 0 and silently splice over SOT; the reference
+        # raises IndexError on the same input (model.py:791) — fail loudly
+        # here too.  Under jit the counts are traced and this is skipped.
+        n_stars = np.asarray(jnp.sum(is_star, axis=1))
+        if (n_stars < len(toks)).any():
+            bad = int(np.argmax(n_stars < len(toks)))
+            raise ValueError(
+                f"encode_text_img_vis: row {bad} has {int(n_stars[bad])} "
+                f"'*' placeholder(s) but {len(toks)} image tokens were given")
     # position of the n-th '*' per row
     cum = jnp.cumsum(is_star, axis=1)
     for n, tok in enumerate(toks):

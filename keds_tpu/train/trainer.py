@@ -91,6 +91,13 @@ def make_train_step(
     db_img, db_txt = retriever.db.image_db, retriever.db.text_db
     db_quant = retriever.quant_arrays()  # int8 backend: traced args, rule 3
     if db_other_tokens is None:
+        if stream == "text":
+            # Silently substituting zeros would make the 0.5-weighted
+            # neighbor-caption term splice over SOT and pool position 0 —
+            # training on garbage with exit code 0 (round-3 review finding).
+            raise ValueError(
+                "stream='text' requires db_other_tokens (the tokenized "
+                "'a photo of * * {other}' templates for every DB row)")
         # static placeholder so the jit signature is uniform across streams
         db_other_tokens = jnp.zeros((1, prompt.shape[1]), jnp.int32)
 

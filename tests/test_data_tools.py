@@ -392,3 +392,65 @@ def test_prep_imagenet_val(tmp_path):
     assert (val / "n01440764" / "v3.JPEG").exists()
     assert (val / "n09193705" / "v2.JPEG").exists()
     assert not (val / "v1.JPEG").exists()
+
+
+def test_tar_multirank_equal_batches_with_unequal_shards(tmp_path):
+    """Round-3 review: 5 shards over 2 ranks gives ranks 3 and 2 shards —
+    every rank must still yield exactly num_batches (the shard list cycles;
+    a short rank ending early would deadlock the multi-host collectives)."""
+    rng = np.random.default_rng(1)
+    n_per = 6
+    for s in range(5):
+        _write_shard(
+            str(tmp_path / f"shard-0000{s}.tar"),
+            [(f"r{s}_{i}", rng.integers(0, 255, (4, 4), dtype=np.uint8))
+             for i in range(n_per)],
+        )
+
+    def decode(raw):
+        return np.frombuffer(raw, dtype=np.uint8).reshape(4, 4).astype(np.float32)
+
+    caps = {f"r{s}_{i}": "c" for s in range(5) for i in range(n_per)}
+
+    def make(rank):
+        return TarShardDataset(
+            str(tmp_path / "shard-{00000..00004}.tar"),
+            batch_size=3, decode_image=decode, caption_map=caps,
+            tokenize=lambda ts: np.asarray([[1]] * len(ts), np.int32),
+            shuffle_buffer=4, train_num_samples=30,
+            rank=rank, world_size=2,
+        )
+
+    counts = []
+    for rank in (0, 1):
+        ds = make(rank)
+        assert ds.num_batches == 5
+        counts.append(len(list(ds)))
+    assert counts == [5, 5], counts  # equal on BOTH ranks despite 3-vs-2 shards
+
+
+def test_tar_decode_pool_persists_across_epochs(tmp_path):
+    """Round-3 review: the decode pool must be created once and reused by
+    every epoch iteration (fresh spawned pools per epoch cost seconds)."""
+    rng = np.random.default_rng(2)
+    _write_shard(str(tmp_path / "p.tar"),
+                 [(f"p{i}", rng.integers(0, 255, (4, 4), dtype=np.uint8))
+                  for i in range(8)])
+
+    def decode(raw):
+        return np.frombuffer(raw, dtype=np.uint8).reshape(4, 4).astype(np.float32)
+
+    ds = TarShardDataset(
+        str(tmp_path / "p.tar"), batch_size=4, decode_image=decode,
+        caption_map={f"p{i}": "c" for i in range(8)},
+        tokenize=lambda ts: np.asarray([[1]] * len(ts), np.int32),
+        shuffle_buffer=4, train_num_samples=8, workers=2,
+    )
+    assert len(list(ds)) == 2
+    pool1 = ds._pool
+    assert pool1 is not None
+    ds.set_epoch(1)
+    assert len(list(ds)) == 2
+    assert ds._pool is pool1  # reused, not respawned
+    ds.close()
+    assert ds._pool is None

@@ -188,3 +188,70 @@ def test_seq_padded_transformer_exact():
     # mathematically exact; a few ulps of GEMM-tiling reassociation noise
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=5e-6)
+
+
+def test_init_clip_text_params_decorrelated():
+    """Round-3 review: pos/blocks/proj of the text tower once shared one PRNG
+    key, making pos and proj rows exactly correlated at from-scratch init."""
+    cfg = jclip.ClipConfig(
+        embed_dim=64, image_resolution=32, vision_layers=1, vision_width=64,
+        vision_patch_size=16, transformer_width=64, transformer_heads=1,
+        transformer_layers=1,
+    )
+    p = jclip.init_clip(jax.random.key(0), cfg)
+    pos = np.asarray(p["text"]["pos"], np.float64)     # (77, 64)
+    proj = np.asarray(p["text"]["proj"], np.float64)   # (64, 64)
+    n = min(pos.size, proj.size)
+    r = np.corrcoef(pos.ravel()[:n], proj.ravel()[:n])[0, 1]
+    assert abs(r) < 0.2, r
+
+
+def test_composed_pool_clamped_for_truncated_captions():
+    """Round-3 review: a truncation-forced EOT at slot 76 pushes the
+    composed pooling index past the sequence; unclamped take_along_axis
+    fills NaN silently.  The clamped gather must stay finite."""
+    cfg = jclip.ClipConfig(
+        embed_dim=64, image_resolution=32, vision_layers=1, vision_width=64,
+        vision_patch_size=16, transformer_width=64, transformer_heads=1,
+        transformer_layers=1,
+    )
+    p = jclip.init_clip(jax.random.key(1), cfg)
+    text = np.zeros((2, 77), np.int32)
+    text[:, 0] = 49406
+    text[:, 1] = 265              # '*'
+    text[:, 2:76] = 1000
+    text[:, 76] = cfg.eot_id      # truncation-forced EOT at the LAST slot
+    tokens = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 3, 64)), jnp.float32)
+    out = jclip.encode_text_img_retrieval(p, cfg, jnp.asarray(text), tokens,
+                                          split_id=265)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_visual_composed_partial_mask_well_defined(small):
+    """Round-3 review: mask_ratio<1 once broadcast a corrupted (B, S, vw)
+    sum into the sequence; the CLS-query fusion must give a clean (B, D)
+    finite feature, and ratio=1 (the parity-tested live call) is untouched."""
+    _, _, params, cfg = small
+    cross = lambda q, k, v: q  # identity-ish stand-in with q's shape
+    imgs = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 32, 32, 3)), jnp.float32)
+    tf = jnp.asarray(np.random.default_rng(2).standard_normal((2, 64)),
+                     jnp.float32)
+    for ratio in (1.0, 0.5):
+        out = jclip.get_visual_composed_features(
+            params, cfg, tf, imgs, cross, jax.random.key(0), mask_ratio=ratio)
+        assert out.shape == (2, cfg.embed_dim)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_encode_text_img_vis_rejects_missing_star(small):
+    _, _, params, cfg = small
+    text = np.zeros((1, 77), np.int32)
+    text[:, 0] = 49406
+    text[:, 1] = 265  # one '*'
+    text[:, 2] = cfg.eot_id
+    tok = jnp.ones((1, 64), jnp.float32)
+    with pytest.raises(ValueError, match="placeholder"):
+        jclip.encode_text_img_vis(params, cfg, jnp.asarray(text), (tok, tok),
+                                  split_id=265)

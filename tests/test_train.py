@@ -230,3 +230,30 @@ def test_training_reduces_loss_substantially(tiny_setup):
             first = float(loss)
     last = float(loss)
     assert last < 0.7 * first, (first, last)
+
+
+def test_text_stream_requires_db_other_tokens():
+    """Round-3 review: stream='text' without db_other_tokens must raise, not
+    silently train the neighbor-caption term on a zero placeholder."""
+    import numpy as np
+    import optax
+    import pytest
+
+    from keds_tpu.models import clip as mclip
+    from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+    from keds_tpu.train.trainer import make_train_step
+
+    cfg = mclip.ClipConfig(
+        embed_dim=32, image_resolution=32, vision_layers=1, vision_width=64,
+        vision_patch_size=16, transformer_width=32, transformer_heads=1,
+        transformer_layers=1,
+    )
+    params = mclip.init_clip(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    db = KnowledgeDB.from_arrays(rng.standard_normal((16, 32)),
+                                 rng.standard_normal((16, 32)),
+                                 dtype=jnp.float32)
+    prompt = np.zeros((1, 77), np.int32)
+    with pytest.raises(ValueError, match="db_other_tokens"):
+        make_train_step(params, cfg, Retriever(db), optax.adamw(1e-3),
+                        stream="text", prompt_tokens=prompt, split_id=265)
