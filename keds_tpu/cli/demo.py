@@ -113,19 +113,38 @@ def main(argv=None) -> None:
     else:
         raise SystemExit(f"unsupported --retrieval-data {rd!r}")
 
-    cache = os.path.join("./data", os.path.basename(rd).split(".")[0] + ".pkl")
+    # Cache key: dataset name PLUS the weights/quant identity — the
+    # reference keys only on the dataset name (eval_utils.py:210-234), so a
+    # checkpoint switch there silently ranks against stale features; here
+    # the fingerprint invalidates the cache (round-3 review finding).
+    import hashlib
+
+    ident = f"{clip_source}:{cfg.quant_towers}"
+    if os.path.isfile(str(clip_source)):
+        st = os.stat(clip_source)
+        ident += f":{st.st_mtime_ns}:{st.st_size}"
+    fp = hashlib.sha1(ident.encode()).hexdigest()[:10]
+    cache = os.path.join(
+        "./data", f"{os.path.basename(rd).split('.')[0]}-{fp}.pkl")
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             data = pickle.load(f)
         corpus, filenames = jnp.asarray(data["feats"]), data["path"]
     else:
         feats, filenames = [], []
-        for images, names in DataLoader(dataset, cfg.batch_size, num_workers=cfg.workers,
-                                        worker_processes=cfg.worker_processes):
-            f = encode_image(jnp.asarray(images))
+        loader = DataLoader(dataset, cfg.batch_size, num_workers=cfg.workers,
+                            worker_processes=cfg.worker_processes)
+        for images, names in loader:
+            images = np.asarray(images)
+            n = images.shape[0]
+            if n < cfg.batch_size:  # ragged tail: pad, don't compile a
+                images = np.concatenate(  # second ViT program (rule 6)
+                    [images, np.repeat(images[-1:], cfg.batch_size - n, 0)])
+            f = encode_image(jnp.asarray(images))[:n]
             f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
             feats.append(np.asarray(f.astype(jnp.float32)))
             filenames.extend(names)
+        loader.close()
         corpus = jnp.asarray(np.concatenate(feats))
         os.makedirs("./data", exist_ok=True)
         with open(cache, "wb") as f:

@@ -29,6 +29,13 @@ def _copy_codebase(cfg) -> None:
     src = os.path.dirname(os.path.abspath(keds_tpu.__file__))
     dst = os.path.join(cfg.logs, cfg.name, "code", "keds_tpu")
     if os.path.exists(dst):
+        if cfg.resume:
+            # Resuming the same experiment: the snapshot from the original
+            # run is already in place — keep it (failing here would kill
+            # every legitimate --resume + --copy-codebase restart).
+            logging.info("experiment code snapshot already at %s; keeping it",
+                         dst)
+            return
         raise SystemExit(f"Error. Experiment code already exists at {dst}.")
     shutil.copytree(src, dst, ignore=shutil.ignore_patterns("__pycache__"))
     logging.info("copied codebase to %s", dst)

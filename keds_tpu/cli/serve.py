@@ -116,6 +116,8 @@ def main(argv=None) -> None:
             yield _pad(np.asarray(images), cfg.batch_size)
 
     corpus = engine.encode_corpus(corpus_batches())
+    loader.close()  # release the (possibly process-) decode pool now; it
+    # would otherwise contend with the query loader for the host core
     # only the final loader batch can be short, so padding rows are all at
     # the tail — trim them
     corpus = corpus[: len(names)]
@@ -152,16 +154,13 @@ def main(argv=None) -> None:
         for chunk, (imgs, text) in zip(chunks, q_loader):
             imgs = _pad(np.asarray(imgs), macro)
             text = _pad(np.asarray(text), macro)
-            if dev_corpus is not None:
-                f, _ = engine.compose_batch(imgs, text)
-                s, i = engine.rank(f, dev_corpus, topn)
-                scores = np.asarray(s)[: len(chunk)]
-                idx = np.asarray(i)[: len(chunk)]
-            else:
-                q_feats = engine.compose([imgs], [text])[: len(chunk)]
-                sims = q_feats @ np.asarray(corpus, np.float32).T
-                idx = np.argsort(-sims, axis=1, kind="stable")[:, :topn]
-                scores = np.take_along_axis(sims, idx, axis=1)
+            # engine.search owns BOTH ranking branches (device rank for a
+            # DeviceCorpus, host matmul+stable argsort otherwise) and is
+            # equality-tested across them — don't re-implement it here.
+            scores, idx = engine.search(
+                [imgs], [text], dev_corpus if dev_corpus is not None else corpus,
+                topn)
+            scores, idx = scores[: len(chunk)], idx[: len(chunk)]
             for qi, q in enumerate(chunk):
                 out.write(json.dumps({
                     "query": q["image"],

@@ -16,13 +16,21 @@ from typing import Optional
 
 
 class _ProcessPrefixFilter(logging.Filter):
+    """Rank prefix for multi-process logs.  The filter MUTATES record.msg
+    and one record passes through every handler's filter chain, so the
+    mutation must be idempotent — otherwise a stream+file handler pair
+    writes 'Rank 1 | Rank 1 | msg' to the file (round-3 review finding)."""
+
+    _FLAG = "_keds_rank_prefixed"
+
     def __init__(self, rank: int):
         super().__init__()
         self._rank = rank
 
     def filter(self, record: logging.LogRecord) -> bool:
-        if self._rank > 0:
+        if self._rank > 0 and not getattr(record, self._FLAG, False):
             record.msg = f"Rank {self._rank} | {record.msg}"
+            setattr(record, self._FLAG, True)
         return True
 
 

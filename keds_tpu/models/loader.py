@@ -45,10 +45,17 @@ def _download(url: str, root: str) -> str:
                 return target
         logging.warning("%s exists with wrong checksum; re-downloading", target)
     logging.info("downloading %s", url)
-    urllib.request.urlretrieve(url, target)
-    with open(target, "rb") as f:
+    # tmp + atomic rename: a process killed mid-download must never leave a
+    # truncated file at the final path — resolve_clip_weights short-circuits
+    # on existence, so a partial file there would be served forever
+    # (round-3 review finding).
+    tmp = target + ".part"
+    urllib.request.urlretrieve(url, tmp)
+    with open(tmp, "rb") as f:
         if hashlib.sha256(f.read()).hexdigest() != expected_sha256:
+            os.remove(tmp)
             raise RuntimeError("downloaded model failed its SHA256 check")
+    os.replace(tmp, target)
     return target
 
 

@@ -88,13 +88,35 @@ def device_count() -> int:
 
 
 def make_mesh(num_devices: int = 0, axis_name: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` devices
-    (0 = all)."""
-    devs = jax.devices()
-    if num_devices:
-        devs = devs[:num_devices]
+    """1-D data-parallel mesh over ``num_devices`` devices (0 = all).
+
+    Multi-process: a request for fewer than all devices is satisfied with
+    an EQUAL count per process — a global-prefix slice would hand some
+    hosts zero local devices (their batch math divides by zero while the
+    other hosts hang in collectives; round-3 review finding).  Oversized
+    requests are clamped with a warning instead of silently truncating."""
     import numpy as np
 
+    devs = jax.devices()
+    if num_devices:
+        if num_devices > len(devs):
+            logging.warning("make_mesh: %d devices requested, %d available "
+                            "— using all", num_devices, len(devs))
+            num_devices = len(devs)
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            per, rem = divmod(num_devices, n_proc)
+            if per == 0 or rem:
+                raise ValueError(
+                    f"--num-partitions {num_devices} must be a positive "
+                    f"multiple of the process count ({n_proc}) so every "
+                    "host keeps local mesh devices")
+            by_proc: dict = {}
+            for d in devs:
+                by_proc.setdefault(d.process_index, []).append(d)
+            devs = [d for p in sorted(by_proc) for d in by_proc[p][:per]]
+        else:
+            devs = devs[:num_devices]
     return Mesh(np.asarray(devs), (axis_name,))
 
 
