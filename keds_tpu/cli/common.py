@@ -59,6 +59,21 @@ def setup_runtime(cfg: Config):
     return mesh
 
 
+def pad_batch(arr, n: int):
+    """Pad the leading dim up to ``n`` by repeating the last row — ragged
+    tail batches would otherwise compile a fresh program per shape
+    (~minutes each through a remote-compile tunnel; CLAUDE.md rule 6).
+    Shared by the serve and demo CLIs; callers slice results back to the
+    true row count."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    if arr.shape[0] >= n:
+        return arr
+    reps = np.repeat(arr[-1:], n - arr.shape[0], axis=0)
+    return np.concatenate([arr, reps], axis=0)
+
+
 def compute_dtype(cfg: Config):
     import jax.numpy as jnp
 

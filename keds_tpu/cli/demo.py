@@ -5,8 +5,11 @@
     python -m keds_tpu.cli.demo --query_file q.jpg --prompts "a cartoon of *" \
         --retrieval-data imgnet --resume /path/to/ckpt.pt --root-data ./data
 
-Corpus features are computed once and cached to ``./data/<name>.pkl`` with
-the reference's ``{feats, path}`` pickle layout.
+Corpus features are computed once and cached to
+``./data/<name>-<fingerprint>.pkl`` with the reference's ``{feats, path}``
+pickle layout; the fingerprint covers the weights + quant mode so a
+checkpoint switch invalidates the cache (the reference keys only on the
+dataset name and silently serves stale features).
 
 Composition: the reference demo constructs an MLP ``IM2TEXT`` but calls it
 with a 2-argument cross-attention signature (``src/demo.py:82`` vs
@@ -131,20 +134,22 @@ def main(argv=None) -> None:
             data = pickle.load(f)
         corpus, filenames = jnp.asarray(data["feats"]), data["path"]
     else:
+        from keds_tpu.cli.common import pad_batch
+
         feats, filenames = [], []
         loader = DataLoader(dataset, cfg.batch_size, num_workers=cfg.workers,
                             worker_processes=cfg.worker_processes)
-        for images, names in loader:
-            images = np.asarray(images)
-            n = images.shape[0]
-            if n < cfg.batch_size:  # ragged tail: pad, don't compile a
-                images = np.concatenate(  # second ViT program (rule 6)
-                    [images, np.repeat(images[-1:], cfg.batch_size - n, 0)])
-            f = encode_image(jnp.asarray(images))[:n]
-            f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
-            feats.append(np.asarray(f.astype(jnp.float32)))
-            filenames.extend(names)
-        loader.close()
+        try:
+            for images, names in loader:
+                n = np.asarray(images).shape[0]
+                # ragged tail: pad, don't compile a second ViT program
+                images = pad_batch(images, cfg.batch_size)
+                f = encode_image(jnp.asarray(images))[:n]
+                f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+                feats.append(np.asarray(f.astype(jnp.float32)))
+                filenames.extend(names)
+        finally:
+            loader.close()
         corpus = jnp.asarray(np.concatenate(feats))
         os.makedirs("./data", exist_ok=True)
         with open(cache, "wb") as f:

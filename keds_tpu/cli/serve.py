@@ -94,14 +94,7 @@ def main(argv=None) -> None:
         mesh=mesh if mesh.devices.size > 1 else None,
     )
 
-    def _pad(arr: "np.ndarray", n: int) -> "np.ndarray":
-        """Pad the leading dim up to ``n`` by repeating the last row — ragged
-        tail batches would otherwise compile a fresh program per shape
-        (~minutes each through a remote-compile tunnel)."""
-        if arr.shape[0] >= n:
-            return arr
-        reps = np.repeat(arr[-1:], n - arr.shape[0], axis=0)
-        return np.concatenate([arr, reps], axis=0)
+    from keds_tpu.cli.common import pad_batch as _pad
 
     # ---- corpus (streamed: one batch in flight, never materialized) -------
     corpus_ds = CustomFolder(cfg.target_data, transform=t_val)
@@ -115,9 +108,12 @@ def main(argv=None) -> None:
             names.extend(os.path.basename(p) for p in paths)
             yield _pad(np.asarray(images), cfg.batch_size)
 
-    corpus = engine.encode_corpus(corpus_batches())
-    loader.close()  # release the (possibly process-) decode pool now; it
-    # would otherwise contend with the query loader for the host core
+    try:
+        corpus = engine.encode_corpus(corpus_batches())
+    finally:
+        loader.close()  # release the (possibly process-) decode pool even
+        # on error; it would otherwise contend with the query loader (or a
+        # retrying wrapper) for the host core
     # only the final loader batch can be short, so padding rows are all at
     # the tail — trim them
     corpus = corpus[: len(names)]
@@ -148,9 +144,9 @@ def main(argv=None) -> None:
     # clobber one file.
     import jax
 
-    if jax.process_index() != 0:
-        out_path = os.devnull
-    with open(out_path, "w") as out:
+    primary = jax.process_index() == 0
+    write_path = out_path if primary else os.devnull
+    with open(write_path, "w") as out:
         for chunk, (imgs, text) in zip(chunks, q_loader):
             imgs = _pad(np.asarray(imgs), macro)
             text = _pad(np.asarray(text), macro)
@@ -176,7 +172,8 @@ def main(argv=None) -> None:
     dt = time.time() - t0
     logging.info("served %d composed queries in %.2fs (%.1f q/s incl. decode)",
                  n_done, dt, n_done / max(dt, 1e-9))
-    print(out_path)
+    if primary:
+        print(out_path)
 
 
 if __name__ == "__main__":

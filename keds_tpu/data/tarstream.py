@@ -332,11 +332,25 @@ class TarShardDataset:
         images: List = []
         caps: List = []
         produced = 0
+        # No-progress guard: the multi-rank shard stream CYCLES so a short
+        # rank can always reach the epoch budget — but if every sample on a
+        # rank is undecodable (wrong caption map / image key), cycling
+        # would spin forever.  Fail loudly after a long run of consecutive
+        # drops instead.
+        drop_limit = max(10_000, 4 * self.num_samples)
+        dropped_streak = 0
         for out in self._decoded():
             if produced >= self.num_batches:
                 return
             if out is None:
+                dropped_streak += 1
+                if dropped_streak >= drop_limit:
+                    raise RuntimeError(
+                        f"{dropped_streak} consecutive samples dropped "
+                        "without one valid decode — check --caption-map / "
+                        "image key / shard contents")
                 continue
+            dropped_streak = 0
             images.append(out[0])
             caps.append(out[1])
             if len(images) == self.batch_size:

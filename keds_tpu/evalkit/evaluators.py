@@ -101,9 +101,14 @@ class EvalContext:
         from keds_tpu.ops.quant import maybe_quantize_clip
 
         # dtype probe must NOT fetch device arrays to host (np.asarray on a
-        # remote-resident ViT-L pytree = GBs of sync transfer); every leaf
-        # type here (jax.Array / np.ndarray) carries .dtype directly.
-        cast = lambda a: jnp.asarray(a, self.compute_dtype) if jnp.issubdtype(getattr(a, "dtype", np.asarray(a).dtype), np.floating) else jnp.asarray(a)  # noqa: E731
+        # remote-resident ViT-L pytree = GBs of sync transfer).  NB a
+        # getattr DEFAULT argument is evaluated eagerly — the fallback must
+        # live behind a real branch.
+        def _leaf_dtype(a):
+            d = getattr(a, "dtype", None)
+            return d if d is not None else np.asarray(a).dtype
+
+        cast = lambda a: jnp.asarray(a, self.compute_dtype) if jnp.issubdtype(_leaf_dtype(a), np.floating) else jnp.asarray(a)  # noqa: E731
 
         self.clip_c = maybe_quantize_clip(jax.tree.map(cast, self.clip_params),
                                           self.quant_towers)

@@ -114,6 +114,11 @@ def make_mesh(num_devices: int = 0, axis_name: str = "data") -> Mesh:
             by_proc: dict = {}
             for d in devs:
                 by_proc.setdefault(d.process_index, []).append(d)
+            short = {p: len(ds) for p, ds in by_proc.items() if len(ds) < per}
+            if short:
+                raise ValueError(
+                    f"--num-partitions {num_devices} needs {per} devices on "
+                    f"every process but some hosts have fewer: {short}")
             devs = [d for p in sorted(by_proc) for d in by_proc[p][:per]]
         else:
             devs = devs[:num_devices]

@@ -454,3 +454,28 @@ def test_tar_decode_pool_persists_across_epochs(tmp_path):
     assert ds._pool is pool1  # reused, not respawned
     ds.close()
     assert ds._pool is None
+
+
+def test_tar_multirank_all_undecodable_fails_loudly(tmp_path):
+    """The cycling multi-rank stream must not spin forever when a rank has
+    zero decodable samples (e.g. wrong caption map) — it raises after a
+    bounded run of consecutive drops."""
+    import pytest
+
+    rng = np.random.default_rng(3)
+    for s in range(2):
+        _write_shard(str(tmp_path / f"z-0000{s}.tar"),
+                     [(f"z{s}_{i}", rng.integers(0, 255, (4, 4), dtype=np.uint8))
+                      for i in range(8)])
+
+    def decode(raw):
+        return np.frombuffer(raw, dtype=np.uint8).reshape(4, 4).astype(np.float32)
+
+    ds = TarShardDataset(
+        str(tmp_path / "z-{00000..00001}.tar"), batch_size=2, decode_image=decode,
+        caption_map={},  # nothing matches -> every sample drops
+        tokenize=lambda ts: np.asarray([[1]] * len(ts), np.int32),
+        shuffle_buffer=2, train_num_samples=8, rank=0, world_size=2,
+    )
+    with pytest.raises(RuntimeError, match="consecutive samples dropped"):
+        list(ds)
