@@ -122,7 +122,8 @@ def main(argv=None) -> None:
     # the fingerprint invalidates the cache (round-3 review finding).
     import hashlib
 
-    ident = f"{clip_source}:{cfg.quant_towers}"
+    ident = (f"{clip_source}:{cfg.quant_towers}:{cfg.precision}"
+             f":{int(cfg.device_preprocess)}")
     if os.path.isfile(str(clip_source)):
         st = os.stat(clip_source)
         ident += f":{st.st_mtime_ns}:{st.st_size}"

@@ -336,8 +336,11 @@ class TarShardDataset:
         # rank can always reach the epoch budget — but if every sample on a
         # rank is undecodable (wrong caption map / image key), cycling
         # would spin forever.  Fail loudly after a long run of consecutive
-        # drops instead.
-        drop_limit = max(10_000, 4 * self.num_samples)
+        # drops instead.  Fixed-size cap (NOT scaled by num_samples): a few
+        # global batches of consecutive failures is already proof of
+        # misconfiguration, and a dataset-sized limit at CC3M scale would
+        # burn ~12M failed decodes before raising (round-3 advisor finding).
+        drop_limit = max(10_000, 8 * self.batch_size * max(self.workers, 1))
         dropped_streak = 0
         for out in self._decoded():
             if produced >= self.num_batches:

