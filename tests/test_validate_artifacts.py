@@ -1,0 +1,142 @@
+"""Turnkey real-artifact parity gate (tools/validate_artifacts.py): full
+plumbing on synthetic stand-ins — fixed single-checkpoint branches, DB load,
+CIRR eval dispatch, table/report emission, expected-number gating, and the
+clean offline-HF failure mode."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+pytest.importorskip("torch")
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from keds_tpu.io.checkpoint import save_train_checkpoint  # noqa: E402
+from keds_tpu.io.pt import save_pt  # noqa: E402
+from keds_tpu.models import clip as mclip, heads as mheads  # noqa: E402
+from keds_tpu.models.composition import FusionHeads  # noqa: E402
+from keds_tpu.tools.validate_artifacts import main as validate_main  # noqa: E402
+
+D = 64
+
+
+def _fixture(tmp_path):
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=1, vision_width=64,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=1,
+    )
+    clip_params = mclip.init_clip(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+
+    def mk_heads(seed):
+        k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+        return FusionHeads(
+            img2text=mheads.init_im2text(k1, D, 48, D),
+            retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+            text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+        )
+
+    # The published artifacts are SINGLE full checkpoints per stream.
+    img_stream = str(tmp_path / "image_stream.pt")
+    txt_stream = str(tmp_path / "text_stream.pt")
+    save_train_checkpoint(img_stream, epoch=1, name="i", clip_params=clip_params,
+                          clip_cfg=cfg, heads=mk_heads(2))
+    save_train_checkpoint(txt_stream, epoch=1, name="t", clip_params=clip_params,
+                          clip_cfg=cfg, heads=mk_heads(3))
+
+    db = tmp_path / "db"
+    db.mkdir()
+    save_pt(np.float32(rng.standard_normal((64, D))), str(db / "cc_image_databases.pt"))
+    save_pt(np.float32(rng.standard_normal((64, D))), str(db / "cc_text_databases.pt"))
+    (db / "database_names.txt").write_text("\n".join(f"n{i}" for i in range(64)))
+
+    root = tmp_path / "data"
+    base = root / "CIRR"
+    (base / "dev").mkdir(parents=True)
+    (base / "captions").mkdir()
+    (base / "image_splits").mkdir()
+    names = [f"img{i}" for i in range(8)]
+    for n in names:
+        Image.fromarray(rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)).save(
+            base / "dev" / f"{n}.png")
+    caps = [{"reference": names[q], "target_hard": names[(q + 1) % 8],
+             "caption": f"change {q}"} for q in range(4)]
+    (base / "captions" / "cap.rc2.val.json").write_text(json.dumps(caps))
+    (base / "image_splits" / "split.rc2.val.json").write_text(
+        json.dumps({n: f"dev/{n}.png" for n in names}))
+    return img_stream, txt_stream, str(db), str(root)
+
+
+def test_validate_artifacts_cirr_plumbing(tmp_path, capsys):
+    img_stream, txt_stream, db, root = _fixture(tmp_path)
+    report = tmp_path / "report.json"
+    validate_main([
+        "--image-stream", img_stream, "--text-stream", txt_stream,
+        "--db", db, "--data-root", root, "--eval-mode", "cirr",
+        "--batch-size", "4", "--db-topk", "4", "--precision", "fp32",
+        "--out", str(report),
+    ])
+    out = capsys.readouterr().out
+    assert "CIRR" in out and "recall_R@1" in out
+    rep = json.loads(report.read_text())
+    table = rep["table"]
+    assert set(table) == {"composed", "image", "mixture"}
+    for row in table.values():
+        for k in (1, 5, 10, 50, 100):
+            assert f"recall_R@{k}" in row
+    assert rep["parity_ok"] is None  # no expected numbers supplied
+
+    # Gate PASSES when measured >= expected - tolerance ...
+    expected = {"cirr": {"mixture": {"recall_R@1": table["mixture"]["recall_R@1"]}}}
+    exp_file = tmp_path / "expected.json"
+    exp_file.write_text(json.dumps(expected))
+    validate_main([
+        "--image-stream", img_stream, "--text-stream", txt_stream,
+        "--db", db, "--data-root", root, "--eval-mode", "cirr",
+        "--batch-size", "4", "--db-topk", "4", "--precision", "fp32",
+        "--expected", str(exp_file), "--out", str(report),
+    ])
+    assert json.loads(report.read_text())["parity_ok"] is True
+
+    # ... and FAILS (exit 1) when the target is unreachable.
+    exp_file.write_text(json.dumps(
+        {"cirr": {"mixture": {"recall_R@1": 200.0}}}))
+    with pytest.raises(SystemExit) as e:
+        validate_main([
+            "--image-stream", img_stream, "--text-stream", txt_stream,
+            "--db", db, "--data-root", root, "--eval-mode", "cirr",
+            "--batch-size", "4", "--db-topk", "4", "--precision", "fp32",
+            "--expected", str(exp_file),
+        ])
+    assert e.value.code == 1
+
+
+def test_validate_artifacts_hf_offline_fails_cleanly(tmp_path, monkeypatch):
+    """hf:<filename> specs must exit 2 with a clear message when the fetch
+    is impossible (the zero-egress case), not crash mid-pipeline."""
+    import huggingface_hub
+
+    def boom(**kwargs):
+        raise OSError("offline")
+
+    monkeypatch.setattr(huggingface_hub, "hf_hub_download", boom)
+    with pytest.raises(SystemExit) as e:
+        validate_main([
+            "--image-stream", "hf:image_stream.pt",
+            "--text-stream", "hf:text_stream.pt",
+            "--db", str(tmp_path), "--data-root", str(tmp_path),
+        ])
+    assert e.value.code == 2
+
+
+def test_validate_artifacts_missing_local_path(tmp_path):
+    with pytest.raises(SystemExit, match="artifact not found"):
+        validate_main([
+            "--image-stream", str(tmp_path / "nope.pt"),
+            "--text-stream", str(tmp_path / "nope2.pt"),
+            "--db", str(tmp_path), "--data-root", str(tmp_path),
+        ])
