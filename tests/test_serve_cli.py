@@ -164,3 +164,60 @@ def test_serve_cli_topn_workers_device_rank(tmp_path, monkeypatch):
         np.testing.assert_allclose(
             [r["score"] for r in dev_rec["results"]],
             [r["score"] for r in host_rec["results"]], rtol=1e-5, atol=1e-5)
+
+
+def test_serve_cli_db_shard_matches_single_device(tmp_path):
+    """BASELINE config 4 serving at CLI level: --db-shard on the 8-device
+    mesh must reproduce the single-device run's rankings and scores."""
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=2,
+    )
+    clip_params = mclip.init_clip(jax.random.key(0), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, D, 48, D),
+        retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+    )
+    resume = str(tmp_path / "ckpt.pt")
+    save_train_checkpoint(resume, epoch=1, name="t", clip_params=clip_params,
+                          clip_cfg=cfg, heads=heads)
+    rng = np.random.default_rng(5)
+    db = tmp_path / "db"
+    db.mkdir()
+    # non-divisible rows exercise sharded-merge pad masking end-to-end
+    save_pt(np.float32(rng.standard_normal((261, D))), str(db / "cc_image_databases.pt"))
+    save_pt(np.float32(rng.standard_normal((261, D))), str(db / "cc_text_databases.pt"))
+    (db / "database_names.txt").write_text("\n".join(f"n{i}" for i in range(261)))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i in range(9):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            corpus / f"c{i}.png")
+    queries = tmp_path / "queries.jsonl"
+    qimg = str(corpus / "c0.png")
+    queries.write_text("\n".join(
+        json.dumps({"image": qimg, "text": f"make it {w} *"})
+        for w in ("red", "blue", "green")
+    ))
+
+    outs = {}
+    for tag, extra in (("shard", ["--db-shard"]),
+                       ("single", ["--num-partitions", "1"])):
+        out = tmp_path / f"results_{tag}.jsonl"
+        serve_main([
+            "--resume", resume, "--database-path", str(db),
+            "--target-data", str(corpus), "--query_file", str(queries),
+            "--demo-out", str(out), "--batch-size", "4", "--db-topk", "4",
+            "--precision", "fp32", "--logs", str(tmp_path / f"logs_{tag}"),
+            "--name", tag, "--no-time-suffix",
+        ] + extra)
+        outs[tag] = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(outs["shard"]) == 3
+    for a, b in zip(outs["shard"], outs["single"]):
+        assert [r["name"] for r in a["results"]] == [r["name"] for r in b["results"]]
+        np.testing.assert_allclose(
+            [r["score"] for r in a["results"]],
+            [r["score"] for r in b["results"]], atol=1e-5)
