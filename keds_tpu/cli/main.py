@@ -230,10 +230,12 @@ def main(argv=None) -> None:
         # the knowledge DB (different --size/--seed in build_database) changes
         # row identity/count, and a stale cache would train the text stream on
         # wrong neighbor templates silently (round-3 VERDICT weak #3).
+        # len(names), not db.size: shard_over pads rows, names hold the truth
         template_prefix = "a photo of * * "
         names_hash = hashlib.sha1(
             "\n".join(retriever.db.names).encode()).hexdigest()
-        want_meta = {"rows": int(retriever.db.size), "names_sha1": names_hash,
+        want_meta = {"rows": len(retriever.db.names),
+                     "names_sha1": names_hash,
                      "template_prefix": template_prefix}
         have_meta = None
         if os.path.isfile(meta_path):
@@ -247,17 +249,18 @@ def main(argv=None) -> None:
                     "db_other_tokens.npy is stale for this knowledge DB "
                     "(fingerprint mismatch: %s vs %s); rebuilding",
                     have_meta, want_meta)
-            logging.info("tokenizing neighbor templates for %d DB rows", retriever.db.size)
+            logging.info("tokenizing neighbor templates for %d DB rows",
+                         len(retriever.db.names))
             arr = build_other_tokens(retriever.db.names, dataset.other,
                                      template_prefix=template_prefix)
             np.save(cache, arr)
             with open(meta_path, "w") as f:
                 _json.dump(want_meta, f)
             db_other_tokens = jnp.asarray(arr)
-        if db_other_tokens.shape[0] != retriever.db.size:
+        if db_other_tokens.shape[0] != len(retriever.db.names):
             raise SystemExit(
                 f"db_other_tokens rows ({db_other_tokens.shape[0]}) != "
-                f"knowledge DB rows ({retriever.db.size})")
+                f"knowledge DB rows ({len(retriever.db.names)})")
 
     rep = NamedSharding(mesh, P())
     heads = jax.device_put(heads, rep)

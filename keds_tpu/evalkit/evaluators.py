@@ -220,17 +220,21 @@ class EvalContext:
         (reference README.md:17) — then every sweep epoch uses those fixed
         heads.  Loaded heads are cached per path (a ViT-L train checkpoint is
         ~1.7 GB; re-reading it per sweep epoch dominates eval time)."""
-        if os.path.isfile(directory) or _is_orbax_checkpoint(directory):
-            path = directory
-        else:
-            path = os.path.join(directory, f"epoch_{epoch}.pt")
-        if path not in self._heads_cache:
-            heads, _ = load_heads_checkpoint(path)
-            heads = jax.tree.map(jnp.asarray, heads)
-            if self._replicated is not None:
-                heads = jax.device_put(heads, self._replicated)
+        fixed = os.path.isfile(directory) or _is_orbax_checkpoint(directory)
+        path = directory if fixed else os.path.join(directory,
+                                                    f"epoch_{epoch}.pt")
+        if fixed and path in self._heads_cache:
+            return self._heads_cache[path]
+        heads, _ = load_heads_checkpoint(path)
+        heads = jax.tree.map(jnp.asarray, heads)
+        if self._replicated is not None:
+            heads = jax.device_put(heads, self._replicated)
+        if fixed:
+            # Cache ONLY fixed-branch loads: a sweep epoch is used once per
+            # evaluate call (caching all 30×2 would pin ~GBs of heads on
+            # device), but a fixed artifact would be re-read per sweep step.
             self._heads_cache[path] = heads
-        return self._heads_cache[path]
+        return heads
 
 
 def _encode_corpus(ctx: EvalContext, target_loader) -> Tuple[np.ndarray, List[str]]:

@@ -178,9 +178,9 @@ def main(argv=None) -> None:
                 if done % 100_000 < chunk_size:
                     logging.info("processed %d captions", done)
     else:
-        _worker_init(nlp is not None)
-        global _WORKER_NLP
-        _WORKER_NLP = nlp  # reuse the already-loaded pipeline
+        global _WORKER_NLP, _WORKER_HAVE_SPACY
+        _WORKER_HAVE_SPACY = nlp is not None
+        _WORKER_NLP = nlp  # reuse the already-loaded pipeline (no re-load)
         for start in range(0, len(items), 50_000):
             consume(_process_chunk(items[start:start + 50_000]))
             if start:

@@ -100,14 +100,16 @@ def make_train_step(
                 "'a photo of * * {other}' templates for every DB row)")
         # static placeholder so the jit signature is uniform across streams
         db_other_tokens = jnp.zeros((1, prompt.shape[1]), jnp.int32)
-    elif db_other_tokens.shape[0] != retriever.db.size:
+    elif db_other_tokens.shape[0] != len(retriever.db.names):
         # Hard build-time check (replaces a masking jnp.clip in the gather,
         # which silently trained on wrong neighbor templates when the cache
-        # was stale — round-3 VERDICT weak #3).
+        # was stale — round-3 VERDICT weak #3).  Compare against the NAMES
+        # count, not db.size: shard_over pads rows, but neighbor indices are
+        # global ids < len(names) (the sharded merge masks pad rows).
         raise ValueError(
             f"db_other_tokens has {db_other_tokens.shape[0]} rows but the "
-            f"knowledge DB has {retriever.db.size}; the template cache is "
-            "stale — rebuild it (delete db_other_tokens.npy)")
+            f"knowledge DB has {len(retriever.db.names)}; the template "
+            "cache is stale — rebuild it (delete db_other_tokens.npy)")
 
     def loss_fn(heads: FusionHeads, batch, rng: jax.Array,
                 clip_c, db_img, db_txt, db_other, db_quant):

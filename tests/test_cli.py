@@ -180,12 +180,15 @@ def test_text_stream_template_cache_invalidation(tmp_path, caplog):
     assert np.load(cache).shape[0] == 32
 
     # Rebuild the DB with a different size: the cache must be detected as
-    # stale and rebuilt (not clipped into garbage gathers).
-    write_db(db_dir, 24, "t")
+    # stale and rebuilt (not clipped into garbage gathers).  --db-shard:
+    # the row check must compare against len(names), not the PADDED
+    # sharded row count (24 rows on the 8-device mesh pad to 24, but 26
+    # would pad to 32 — use a non-divisible size to pin it).
+    write_db(db_dir, 26, "t")
     caplog.set_level(logging.WARNING)
-    train_main(args + ["--name", "tc2"])
+    train_main(args + ["--name", "tc2", "--db-shard"])
     assert "stale" in caplog.text
-    assert np.load(cache).shape[0] == 24
+    assert np.load(cache).shape[0] == 26
 
 
 def test_train_cli_csv_raw_images(tmp_path):
