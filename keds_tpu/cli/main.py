@@ -330,7 +330,10 @@ def main(argv=None) -> None:
             profile_dir=cfg.profile_dir if epoch == start_epoch else None,
             world_size=jax.process_count(),
         )
-        if jax.process_index() == 0:
+        # .pt saves are rank-0-only (reference convention); orbax saves are
+        # COLLECTIVE — every process must call (orbax elects the writer
+        # internally; a single-rank call deadlocks on its sync barriers).
+        if jax.process_index() == 0 or cfg.checkpoint_format == "orbax":
             should_save = (epoch + 1) == cfg.epochs or (
                 cfg.save_frequency > 0 and (epoch + 1) % cfg.save_frequency == 0
             )

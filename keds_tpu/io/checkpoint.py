@@ -181,13 +181,19 @@ def _save_orbax(path: str, **payload) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    # Convert to host numpy BEFORE handing to orbax: the train CLI saves on
+    # process 0 only (reference rank-0 convention), but orbax treats
+    # non-fully-addressable jax arrays as a COLLECTIVE save and deadlocks
+    # waiting for the other processes.  Heads/opt state are replicated, so
+    # every process holds a complete local copy and a host fetch is exact.
+    to_np = lambda t: jax.tree.map(np.asarray, t)  # noqa: E731
     with ocp.StandardCheckpointer() as ckptr:
         tree = {
             "epoch": payload["epoch"],
-            "heads": payload["heads"]._asdict(),
+            "heads": to_np(payload["heads"]._asdict()),
         }
         if payload.get("opt_state") is not None:
-            tree["opt_state"] = payload["opt_state"]
+            tree["opt_state"] = to_np(payload["opt_state"])
         ckptr.save(path, tree, force=True)
 
 
