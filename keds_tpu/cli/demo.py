@@ -66,7 +66,11 @@ def main(argv=None) -> None:
     setup_runtime(cfg)
     dtype = compute_dtype(cfg)
 
-    clip_source = cfg.resume or cfg.clip_weights or cfg.model
+    # Orbax checkpoints (directories) carry the heads only — CLIP must then
+    # come from --clip-weights / --model.
+    resume_is_orbax = bool(cfg.resume) and os.path.isdir(cfg.resume)
+    clip_source = ((cfg.clip_weights or cfg.model) if resume_is_orbax
+                   else (cfg.resume or cfg.clip_weights or cfg.model))
     clip_params, ccfg, _, t_val = load_clip(
         clip_source, normalize_on_host=not cfg.device_preprocess)
     cast = lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a  # noqa: E731
@@ -78,7 +82,11 @@ def main(argv=None) -> None:
     # img2text head from the checkpoint: CrossFormer -> late fusion,
     # MLP -> pic2word splice.
     img2text, late_fusion = None, False
-    if cfg.resume and os.path.isfile(cfg.resume):
+    if resume_is_orbax:
+        from keds_tpu.io.checkpoint import load_orbax_heads
+
+        img2text = load_orbax_heads(cfg.resume)[0].img2text
+    elif cfg.resume and os.path.isfile(cfg.resume):
         ckpt = load_pt(cfg.resume)
         sd = ckpt.get("state_dict_img2text", {})
         if any(k.startswith("cross_layers") or k.startswith("module.cross_layers") for k in sd):

@@ -80,8 +80,13 @@ def main(argv=None) -> None:
     if not cfg.query_file:
         raise SystemExit("--query_file <queries.jsonl> is required")
 
+    # Orbax checkpoints (directories) carry the heads only — CLIP must then
+    # come from --clip-weights / --model.
+    clip_source = cfg.resume
+    if os.path.isdir(cfg.resume):
+        clip_source = cfg.clip_weights or cfg.model
     clip_params, clip_cfg, _, t_val = load_clip(
-        cfg.resume, target_pad=1.25 if cfg.target_pad else None,
+        clip_source, target_pad=1.25 if cfg.target_pad else None,
         normalize_on_host=not cfg.device_preprocess,
     )
     heads, _ = load_heads_checkpoint(cfg.resume)

@@ -268,6 +268,47 @@ def test_demo_cli(tmp_path, monkeypatch):
     assert "a cartoon of *" in html and "<img" in html
 
 
+def test_demo_cli_orbax_resume(tmp_path, monkeypatch):
+    """--resume <orbax dir>: img2text comes from the orbax heads, CLIP from
+    --clip-weights (orbax checkpoints carry heads only)."""
+    pytest.importorskip("orbax.checkpoint")
+    from keds_tpu.cli.demo import main as demo_main
+    from keds_tpu.io.checkpoint import save_train_checkpoint
+    from keds_tpu.models import clip as mclip, heads as mheads
+    from keds_tpu.models.composition import FusionHeads
+
+    d = 64
+    ckpt, cfg = _write_clip_ckpt(tmp_path)
+    params = mclip.init_clip(jax.random.key(0), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, d, 48, d),
+        retrieval_fuse=mheads.init_crossformer(k2, d, d, d, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, d, d, d, num_layers=3),
+    )
+    orbax_dir = str(tmp_path / "epoch_1.pt")
+    save_train_checkpoint(orbax_dir, epoch=1, name="t", clip_params=params,
+                          clip_cfg=cfg, heads=heads, fmt="orbax")
+    rng = np.random.default_rng(2)
+    corpus_dir = tmp_path / "data" / "coco" / "val2017"
+    corpus_dir.mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+            corpus_dir / f"c{i}.jpg")
+    query = tmp_path / "query.jpg"
+    Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(query)
+    monkeypatch.chdir(tmp_path)
+    demo_main([
+        "--retrieval-data", "coco", "--root-data", str(tmp_path / "data"),
+        "--query_file", str(query), "--prompts", "a cartoon of *",
+        "--resume", orbax_dir, "--clip-weights", ckpt,
+        "--demo-out", str(tmp_path / "demo"), "--precision", "fp32",
+        "--logs", str(tmp_path / "logs"), "--name", "demo_orbax",
+        "--batch-size", "4",
+    ])
+    assert (tmp_path / "demo" / "index.html").is_file()
+
+
 def test_pre_save_feature_routes_to_tool():
     from keds_tpu.cli.main import main as train_main
 

@@ -221,3 +221,52 @@ def test_serve_cli_db_shard_matches_single_device(tmp_path):
         np.testing.assert_allclose(
             [r["score"] for r in a["results"]],
             [r["score"] for r in b["results"]], atol=1e-5)
+
+
+def test_serve_cli_orbax_resume(tmp_path):
+    """--resume <orbax dir> serves with CLIP from --clip-weights (orbax
+    checkpoints carry heads only)."""
+    pytest.importorskip("orbax.checkpoint")
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=1, vision_width=64,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=1,
+    )
+    clip_params = mclip.init_clip(jax.random.key(0), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, D, 24, D),
+        retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=2),
+        text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=2),
+    )
+    clip_ckpt = str(tmp_path / "clip.pt")
+    save_train_checkpoint(clip_ckpt, epoch=1, name="t", clip_params=clip_params,
+                          clip_cfg=cfg, heads=heads)
+    orbax_dir = str(tmp_path / "epoch_1.pt")
+    save_train_checkpoint(orbax_dir, epoch=1, name="t", clip_params=clip_params,
+                          clip_cfg=cfg, heads=heads, fmt="orbax")
+    rng = np.random.default_rng(0)
+    db = tmp_path / "db"
+    db.mkdir()
+    save_pt(np.float32(rng.standard_normal((32, D))), str(db / "cc_image_databases.pt"))
+    save_pt(np.float32(rng.standard_normal((32, D))), str(db / "cc_text_databases.pt"))
+    (db / "database_names.txt").write_text("\n".join(f"n{i}" for i in range(32)))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i in range(5):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            corpus / f"c{i}.png")
+    queries = tmp_path / "queries.jsonl"
+    queries.write_text(json.dumps(
+        {"image": str(corpus / "c0.png"), "text": "make it red *"}))
+    out = tmp_path / "results.jsonl"
+    serve_main([
+        "--resume", orbax_dir, "--clip-weights", clip_ckpt,
+        "--database-path", str(db), "--target-data", str(corpus),
+        "--query_file", str(queries), "--demo-out", str(out),
+        "--batch-size", "4", "--db-topk", "4", "--precision", "fp32",
+        "--logs", str(tmp_path / "logs"), "--name", "orbserve",
+        "--no-time-suffix",
+    ])
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 1 and len(lines[0]["results"]) == 5
