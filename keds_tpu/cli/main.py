@@ -88,6 +88,8 @@ def main(argv=None) -> None:
     # path and fail with an unrelated error).
     dataset_type = cfg.dataset_type
     if dataset_type == "auto":
+        if not cfg.train_data:
+            raise SystemExit("--train-data is required for training")
         ext = (cfg.train_data or "").rsplit(".", 1)[-1].lower()
         if ext in ("csv", "tsv"):
             dataset_type = "csv"
