@@ -83,9 +83,10 @@ def main(argv=None) -> None:
     # MLP -> pic2word splice.
     img2text, late_fusion = None, False
     if resume_is_orbax:
-        from keds_tpu.io.checkpoint import load_orbax_heads
+        from keds_tpu.io.checkpoint import load_heads_checkpoint
 
-        img2text = load_orbax_heads(cfg.resume)[0].img2text
+        # dispatches to orbax; a plain (non-checkpoint) dir fails loudly
+        img2text = load_heads_checkpoint(cfg.resume)[0].img2text
     elif cfg.resume and os.path.isfile(cfg.resume):
         ckpt = load_pt(cfg.resume)
         sd = ckpt.get("state_dict_img2text", {})

@@ -48,12 +48,7 @@ def _norm(x):
     return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
 
 
-def _is_orbax_checkpoint(path: str) -> bool:
-    """True when ``path`` is itself one orbax checkpoint directory (vs a
-    branch directory CONTAINING epoch_N.pt checkpoints)."""
-    return os.path.isdir(path) and (
-        os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
-        or os.path.exists(os.path.join(path, "_METADATA")))
+from keds_tpu.io.checkpoint import is_orbax_checkpoint as _is_orbax_checkpoint
 
 
 def get_templates() -> List[str]:

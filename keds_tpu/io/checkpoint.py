@@ -96,6 +96,12 @@ def load_heads_checkpoint(path: str, _ckpt: Optional[dict] = None
     dir named ``epoch_N.pt``); dispatch on that so resume, the eval sweeps and
     serve consume either format transparently."""
     if _ckpt is None and os.path.isdir(path):
+        if not is_orbax_checkpoint(path):
+            raise ValueError(
+                f"{path} is a directory but not an orbax checkpoint "
+                "(no _CHECKPOINT_METADATA/_METADATA marker) — pass a "
+                "checkpoint file, or the epoch_N.pt dir written by "
+                "--checkpoint-format orbax")
         return load_orbax_heads(path)
     ckpt = _ckpt if _ckpt is not None else load_pt(path)
     heads = FusionHeads(
@@ -195,6 +201,14 @@ def _save_orbax(path: str, **payload) -> None:
         if payload.get("opt_state") is not None:
             tree["opt_state"] = to_np(payload["opt_state"])
         ckptr.save(path, tree, force=True)
+
+
+def is_orbax_checkpoint(path: str) -> bool:
+    """True when ``path`` is one orbax checkpoint directory (vs a plain
+    directory, or a branch dir CONTAINING epoch_N.pt checkpoints)."""
+    return os.path.isdir(path) and (
+        os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+        or os.path.exists(os.path.join(path, "_METADATA")))
 
 
 def _delistify(tree):
