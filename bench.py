@@ -98,6 +98,10 @@ def main() -> None:
                         "frozen-CLIP encode inside the step — the wds "
                         "training path's device rate, isolated from the "
                         "host JPEG decode that bounds the CLI on 1 core)")
+    p.add_argument("--stream", choices=["image", "text"], default="image",
+                   help="with --train: which stream's step to measure "
+                        "(text adds the top-2 caption retrieval + the "
+                        "device-gathered neighbor-template loss terms)")
     p.add_argument("--quant", choices=["none", "int8"], default="none",
                    help="W8A8-quantize the tower GEMMs (BENCH_NOTES: ~parity "
                         "speed on v5e via XLA — int8 is not double-rate on "
@@ -299,9 +303,22 @@ def bench_train(args) -> None:
     rng = np.random.default_rng(0)
     prompt = np.zeros((1, 77), np.int32)
     prompt[0, :5] = [49406, 320, 1125, 539, 49407]
+    db_other = None
+    if args.stream == "text":
+        if args.raw:
+            raise SystemExit("--stream text trains from precomputed features "
+                             "(no raw mode; see cli/main.py)")
+        # Synthetic "a photo of * * {word}" templates for every DB row —
+        # the device-side table the text-stream loss gathers by neighbor
+        # index (real runs build it once from cc_other.json).
+        oth = np.zeros((db_rows, 77), np.int32)
+        oth[:, :8] = [49406, 320, 1125, 539, 265, 265, 0, 49407]
+        oth[:, 6] = rng.integers(1000, 40000, db_rows)
+        db_other = jnp.asarray(oth)
     step = make_train_step(
-        clip_params, cfg, retriever, opt, stream="image", prompt_tokens=prompt,
-        split_id=265, db_topk=16, compute_dtype=jnp.bfloat16,
+        clip_params, cfg, retriever, opt, stream=args.stream,
+        prompt_tokens=prompt, split_id=265, db_topk=16,
+        db_other_tokens=db_other, compute_dtype=jnp.bfloat16,
     )
     if args.raw:
         from keds_tpu.train.losses import RawBatch
@@ -329,15 +346,24 @@ def bench_train(args) -> None:
 
     t = timeit_chain(chain_step, (heads, opt_state, jnp.zeros(())), iters)
     sps = batch / t
-    log(f"train step{' (raw images)' if args.raw else ''}: "
-        f"{t*1e3:.2f} ms -> {sps:.0f} samples/s/chip")
+    tag = " (raw images)" if args.raw else (
+        " (text stream)" if args.stream == "text" else "")
+    log(f"train step{tag}: {t*1e3:.2f} ms -> {sps:.0f} samples/s/chip")
     # Analytic A100 baselines (fixed across rounds): features mode ~2000/s
     # (faiss round-trip + heads fwd/bwd + text tower); raw mode adds the
     # frozen ViT-L encode — fp16 encode ~166 ms/b128 at 40% MFU + faiss
     # 10 ms + step ~64 ms + host glue ~20 ms -> ~260 ms -> ~490/s.
-    base = 490.0 if args.raw else 2000.0
+    # Text stream, derived from the SAME per-component numbers as the
+    # image-stream estimate (text tower fwd/bwd ~37 ms/b128 fp16): image
+    # step 64 ms + two extra tower passes 74 ms + top-2 faiss search ~5 ms
+    # + per-step HOST tokenization of 2x128 neighbor templates
+    # (src/trainer.py:321-326, ~15 ms) -> ~158 ms/b128 -> ~810/s.
+    base = 490.0 if args.raw else (810.0 if args.stream == "text" else 2000.0)
+    metric = ("raw_" if args.raw else "") + (
+        "text_stream_" if args.stream == "text" else ""
+    ) + "train_samples_per_sec_per_chip"
     print(json.dumps({
-        "metric": ("raw_" if args.raw else "") + "train_samples_per_sec_per_chip",
+        "metric": metric,
         "value": round(sps, 2),
         "unit": "sample/s",
         "vs_baseline": round(sps / base, 3),
