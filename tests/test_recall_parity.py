@@ -581,3 +581,77 @@ def jev_imagelist(path, transforms, root):
     from keds_tpu.data.datasets import ImageList
 
     return ImageList(path, transforms=transforms, root=root, is_labels=True)
+
+
+def test_validate_artifacts_gate_passes_on_reference_numbers(ref_env, tmp_path):
+    """Dogfood the turnkey gate (tools/validate_artifacts.py) against the
+    RUNNING reference: reference-produced j=1 recall numbers become
+    --expected, the published-artifact layout (single full checkpoints per
+    stream) is synthesized from the same weights, and the gate must PASS —
+    the literal rehearsal of the day real artifacts are reachable."""
+    import json
+
+    from keds_tpu.io.pt import save_pt
+    from keds_tpu.tools.validate_artifacts import main as validate_main
+
+    s = _setup(ref_env, tmp_path, tree="cirr")
+    ref_eval = ref_env.eval
+    from torch.utils.data import DataLoader as TorchLoader
+
+    q_ds = ref_env.data.CIRR(transforms=s.torch_transform, mode="caps",
+                             root=str(s.root))
+    t_ds = ref_env.data.CIRR(transforms=s.torch_transform, mode="imgs",
+                             root=str(s.root))
+    q_loader = TorchLoader(q_ds, batch_size=4, shuffle=False)
+    t_loader = TorchLoader(t_ds, batch_size=4, shuffle=False)
+    i2t = ref_env.model.IM2TEXT(embed_dim=D, middle_dim=48, output_dim=D,
+                                n_layer=2)
+    rf = ref_env.model.CrossFormer(q_dim=D, k_dim=D, v_dim=D, num_layers=3)
+    tc = ref_env.model.CrossFormer(q_dim=D, k_dim=D, v_dim=D, num_layers=3)
+    with _Capture() as cap, torch.no_grad(), _run_in(s.scratch):
+        ref_eval.evaluate_cirr(_Wrap(s.m), i2t, rf, tc, s.database,
+                               s.args, q_loader, t_loader)
+    ref_j1 = {key: m for (j, key), m in
+              _parse_eval_lines(cap.messages).items() if j == 1}
+    assert set(ref_j1) == {"composed", "image", "mixture"}
+
+    # Synthesize the published-artifact layout: ONE full checkpoint per
+    # stream (CLIP state_dict + that branch's epoch-1 heads).
+    streams = {}
+    for stream, branch in (("image_stream", "image_branch"),
+                           ("text_stream", "text_branch")):
+        heads_sd = torch.load(
+            s.scratch / branch / "checkpoints" / "epoch_1.pt",
+            map_location="cpu", weights_only=False)
+        full = {"epoch": 1, "name": stream, "state_dict": s.m.state_dict()}
+        for k in ("state_dict_img2text", "state_dict_retrieval_fuse",
+                  "state_dict_text_condition"):
+            full[k] = heads_sd[k]
+        path = str(tmp_path / f"{stream}.pt")
+        torch.save(full, path)
+        streams[stream] = path
+
+    db_dir = tmp_path / "gate_db"
+    db_dir.mkdir()
+    save_pt(np.asarray(s.db.image_db), str(db_dir / "cc_image_databases.pt"))
+    save_pt(np.asarray(s.db.text_db), str(db_dir / "cc_text_databases.pt"))
+    (db_dir / "database_names.txt").write_text(
+        "\n".join(f"n{i}" for i in range(64)))
+
+    exp_file = tmp_path / "expected.json"
+    exp_file.write_text(json.dumps({"cirr": ref_j1}))
+    report = tmp_path / "gate_report.json"
+    validate_main([
+        "--image-stream", streams["image_stream"],
+        "--text-stream", streams["text_stream"],
+        "--db", str(db_dir), "--data-root", str(s.root),
+        "--eval-mode", "cirr", "--batch-size", "4", "--db-topk", "16",
+        "--precision", "fp32", "--tolerance", "0.001",
+        "--expected", str(exp_file), "--out", str(report),
+    ])
+    rep = json.loads(report.read_text())
+    assert rep["parity_ok"] is True
+    # and measured == reference at 4 decimals, every cell
+    for key, ref_m in ref_j1.items():
+        for name, val in ref_m.items():
+            assert abs(round(rep["table"][key][name], 4) - val) < 2e-4
