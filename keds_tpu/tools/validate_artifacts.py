@@ -124,6 +124,9 @@ def main(argv=None) -> None:
     p.add_argument("--tolerance", type=float, default=0.5,
                    help="max allowed shortfall (recall points) vs --expected")
     p.add_argument("--out", default=None, help="write the table as json")
+    p.add_argument("--imgnet-epochs", default="5,6,7,8,9",
+                   help="imgnet mixture sweep j's (mixture weight 0.1*j; "
+                        "heads are the fixed artifacts at every j)")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--db-topk", type=int, default=16)
     p.add_argument("--precision", default="bf16",
@@ -202,8 +205,9 @@ def main(argv=None) -> None:
         tgt = ImageList(os.path.join(args.data_root, "imgnet",
                                      "imgnet_targets.txt"),
                         root=args.data_root, transforms=t_val, is_labels=True)
+        epochs = [int(x) for x in args.imgnet_epochs.split(",")]
         results = evaluate_imgnet_retrieval(ctx, prompts, mk_loader(src),
-                                            mk_loader(tgt))
+                                            mk_loader(tgt), epochs=epochs)
         table = _flatten(results, fixed_epoch_label=False)
 
     expected = None

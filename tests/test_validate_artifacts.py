@@ -115,6 +115,45 @@ def test_validate_artifacts_cirr_plumbing(tmp_path, capsys):
     assert e.value.code == 1
 
 
+def test_validate_artifacts_imgnet_plumbing(tmp_path):
+    """ImageNet mode: ImageList trees, 4 domain prompts, the 0.1j mixture
+    sweep with fixed-artifact heads, R@k/P@k table emission."""
+    import json as _json
+
+    img_stream, txt_stream, db, _ = _fixture(tmp_path)
+    rng = np.random.default_rng(1)
+    root = tmp_path / "data"
+    imgdir = root / "imgnet" / "imgs"
+    imgdir.mkdir(parents=True)
+    q_lines, t_lines = [], []
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)).save(
+            imgdir / f"q{i}.png")
+        q_lines.append(f"imgnet/imgs/q{i}.png {i % 3}")
+    for i in range(9):
+        Image.fromarray(rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)).save(
+            imgdir / f"t{i}.png")
+        t_lines.append(f"imgnet/imgs/t{i}.png {i % 3}")
+    (root / "imgnet" / "imgnet_real_query.txt").write_text("\n".join(q_lines))
+    (root / "imgnet" / "imgnet_targets.txt").write_text("\n".join(t_lines))
+
+    report = tmp_path / "imgnet_report.json"
+    validate_main([
+        "--image-stream", img_stream, "--text-stream", txt_stream,
+        "--db", db, "--data-root", str(root), "--eval-mode", "imgnet",
+        "--imgnet-epochs", "5", "--batch-size", "4", "--db-topk", "4",
+        "--precision", "fp32", "--out", str(report),
+    ])
+    rep = _json.loads(report.read_text())
+    # 1 j x 4 prompts x 3 feature keys
+    assert len(rep["table"]) == 12
+    for row, metrics in rep["table"].items():
+        assert row.startswith("5|a ")
+        for k in (1, 5, 10):
+            assert f"Real2Sketch_R@{k}" in metrics
+            assert f"Real2Sketch_P@{k}" in metrics
+
+
 def test_validate_artifacts_hf_offline_fails_cleanly(tmp_path, monkeypatch):
     """hf:<filename> specs must exit 2 with a clear message when the fetch
     is impossible (the zero-egress case), not crash mid-pipeline."""
