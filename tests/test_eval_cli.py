@@ -172,6 +172,7 @@ def test_eval_cli_cirr_db_shard_matches_single_device(tmp_path, caplog):
     try:
         ev.evaluate_cirr = lambda ctx, s, t, epochs=None: orig(ctx, s, t, epochs=[1])
         for tag, extra in (("shard", ["--db-shard"]),
+                           ("subset", ["--db-shard", "--num-partitions", "4"]),
                            ("single", ["--num-partitions", "1"])):
             caplog.clear()
             eval_main([
@@ -186,3 +187,4 @@ def test_eval_cli_cirr_db_shard_matches_single_device(tmp_path, caplog):
         ev.evaluate_cirr = orig
     assert metrics["shard"] and set(metrics["shard"]) == {"composed", "image", "mixture"}
     assert metrics["shard"] == metrics["single"], metrics
+    assert metrics["subset"] == metrics["single"], metrics
