@@ -189,19 +189,30 @@ def main() -> None:
         qb = jnp.asarray(rng.standard_normal((batch, cfg.embed_dim)),
                          db.image_db.dtype)
 
-        @jax.jit
-        def retr_step_xla(q_, d_):
-            vals, _ = mips_topk(q_, d_, 16)
-            return q_ + (jnp.sum(vals) * 1e-30).astype(q_.dtype)
+        # Sub-RTT programs (a few ms) are unmeasurable through the tunnel by
+        # chained or pipelined dispatch (~30 ms relay floor per dispatch);
+        # repeat the body REP times INSIDE one jit with a scalar-feedback
+        # loop and divide (BENCH_NOTES round-4 methodology).
+        REP = 8
 
-        @jax.jit
-        def retr_step_pallas(q_, d_):
-            vals, _ = mips_topk_fused(q_, d_, 16)
-            return q_ + (jnp.sum(vals) * 1e-30).astype(q_.dtype)
+        def repeat_retr(search):
+            @jax.jit
+            def fn(q_, d_):
+                def body(i, carry):
+                    vals, _ = search(carry, d_)
+                    return carry + (jnp.sum(vals) * 1e-30).astype(carry.dtype)
+                out = jax.lax.fori_loop(0, REP, body, q_)
+                return jnp.sum(out.astype(jnp.float32))
+            return fn
 
-        t_xla = timeit_chain(lambda s: retr_step_xla(s, db.image_db), qb, iters)
-        t_pal = timeit_chain(lambda s: retr_step_pallas(s, db.image_db), qb, iters)
-        log(f"stage retrieval (1 modality, {db_rows} rows): xla {t_xla*1e3:.2f} ms, pallas {t_pal*1e3:.2f} ms")
+        retr_xla = repeat_retr(lambda q_, d_: mips_topk(q_, d_, 16))
+        retr_pal = repeat_retr(lambda q_, d_: mips_topk_fused(q_, d_, 16))
+        q_inputs = [jnp.asarray(rng.standard_normal((batch, cfg.embed_dim)),
+                                db.image_db.dtype) for _ in range(iters)]
+        t_xla = timeit_pipelined(lambda q_: retr_xla(q_, db.image_db), q_inputs) / REP
+        t_pal = timeit_pipelined(lambda q_: retr_pal(q_, db.image_db), q_inputs) / REP
+        log(f"stage retrieval (1 modality, {db_rows} rows, x{REP} in-jit): "
+            f"xla {t_xla*1e3:.2f} ms, pallas {t_pal*1e3:.2f} ms")
 
     # --- headline: full composed-query pipeline ---------------------------
     # The int8 index (when --retrieval int8) is threaded as jit ARGUMENTS
