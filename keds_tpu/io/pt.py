@@ -204,4 +204,9 @@ def save_pt(obj: Any, path: str) -> None:
         return x
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    torch.save(conv(obj), path)
+    # Atomic write: a crash mid-save must not leave a truncated epoch_N.pt
+    # for --resume auto to pick up (same temp-then-rename discipline as the
+    # weight-download path).
+    tmp = path + ".tmp"
+    torch.save(conv(obj), tmp)
+    os.replace(tmp, path)

@@ -504,3 +504,17 @@ def test_tar_multirank_all_undecodable_fails_loudly(tmp_path):
     )
     with pytest.raises(RuntimeError, match="consecutive samples dropped"):
         list(ds)
+
+
+def test_save_pt_atomic(tmp_path):
+    """save_pt writes temp-then-rename: no .tmp residue, loadable result
+    (a crash mid-save must not leave a truncated epoch_N.pt for
+    --resume auto)."""
+    pytest.importorskip("torch")
+    from keds_tpu.io.pt import load_pt, save_pt
+
+    p = tmp_path / "x.pt"
+    save_pt({"a": np.arange(5)}, str(p))
+    assert p.is_file() and not (tmp_path / "x.pt.tmp").exists()
+    out = load_pt(str(p))
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.arange(5))
