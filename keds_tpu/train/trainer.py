@@ -154,6 +154,16 @@ def make_train_step(
             heads, batch, rng, clip_c, db_img, db_txt, db_other, db_quant
         )
         updates, opt_state = optimizer.update(grads, opt_state, heads)
+        if stream == "text":
+            # The text stream never touches text_condition (the reference's
+            # get_loss_img2text, src/trainer.py:285-411), so torch AdamW sees
+            # grad=None and SKIPS it — no weight decay either.  optax.adamw
+            # would decay it through the zero-gradient path; zero its updates
+            # so the untouched head stays at init exactly like the reference's
+            # text_stream checkpoints (trajectory-parity-pinned).
+            updates = updates._replace(
+                text_condition=jax.tree.map(jnp.zeros_like,
+                                            updates.text_condition))
         heads = optax.apply_updates(heads, updates)
         return heads, opt_state, loss
 

@@ -199,6 +199,31 @@ def world1_pg(tmp_path_factory):
         dist.destroy_process_group()
 
 
+def _patched_encode_text_img_train(self, text, img_tokens, split_ind=4,
+                                   repeat=True):
+    """src/model/model.py:853-881 with PARITY.md item 7's repair: the
+    committed tail resumes at ``ind_insert+3`` regardless of the pseudo-token
+    count, so the text stream's K=2 fusions yield a 76-long sequence that
+    raises at the positional embedding.  Resume at ``ind_insert+K`` —
+    replace-in-place, the single hardcoded ``3`` generalized; for the K=3
+    image-stream template this is byte-identical to the committed body."""
+    x = self.token_embedding(text).type(self.dtype)
+    collect_ind = text == self.end_id
+    collect_ind = collect_ind.nonzero()[:, 1]
+    ind_insert = text[0] == split_ind
+    ind_insert = ind_insert.nonzero()[0]
+    k = img_tokens.shape[1]
+    x = torch.cat([x[:, :ind_insert], img_tokens, x[:, ind_insert + k:]],
+                  dim=1)
+    x = x + self.positional_embedding.type(self.dtype)
+    x = x.permute(1, 0, 2)
+    x = self.transformer(x)
+    x = x.permute(1, 0, 2)
+    x = self.ln_final(x).type(self.dtype)
+    x = x[torch.arange(x.size(0)), collect_ind] @ self.text_projection
+    return x
+
+
 def _patched_encode_text_img(self, text, img_tokens):
     """src/model/model.py:756-777 with PARITY.md item 1's repair: the
     committed body trims 2 tail positions and pools at ``collect_ind+2``
@@ -235,6 +260,8 @@ def _build_models(reference_src, repair_encode_text_img=True):
         p.requires_grad_(False)
     if repair_encode_text_img:
         m.encode_text_img = types.MethodType(_patched_encode_text_img, m)
+        m.encode_text_img_train = types.MethodType(
+            _patched_encode_text_img_train, m)
     i2t = ref_model.IM2TEXT(embed_dim=D, middle_dim=48, output_dim=D,
                             n_layer=2).eval()  # dropout off on both sides
     rf = ref_model.CrossFormer(q_dim=D, k_dim=D, v_dim=D, num_layers=3)
@@ -436,3 +463,143 @@ def test_trajectory_matches_reference_train(ref_trainer, reference_src,
         np.testing.assert_allclose(
             vh, ve, atol=1e-4, rtol=1e-3,
             err_msg=f"post-training parameter mismatch at {pe}")
+
+
+_WORDS = ["red chair", "small dog", "green tree", "old car", "tall tower",
+          "white cat", "blue boat", "wooden table"]
+
+
+def test_text_stream_trajectory_matches_reference_loss(ref_trainer,
+                                                       reference_src,
+                                                       world1_pg):
+    """Same contract as the image-stream trajectory, for the text stream
+    (``get_loss_img2text``, src/trainer.py:285-411).  The committed train()
+    reaches only the image stream (the text call is commented out at
+    :464,471; the recipe's second stream is trained by swapping that call),
+    so the reference side here runs a loop that mirrors train()'s exact
+    order — scheduler(step), zero_grad, loss, backward, step — around the
+    reference's own loss function.  The splice repair on the reference side
+    is PARITY.md item 7 (``encode_text_img_train`` tail at ``ind_insert+K``
+    instead of the hardcoded ``+3``, proven crash-first below); neighbor
+    templates come from its ``other_dict`` host lookup + per-step
+    tokenization, ours from the pre-tokenized device-gathered
+    ``db_other_tokens`` table — the trajectories matching proves those two
+    mechanisms equivalent end-to-end."""
+    m, i2t, rf, tc = _build_models(reference_src)
+    db_img, db_txt, batches = _make_data(seed=2)
+    rng = np.random.default_rng(7)
+    other_dict = {str(i): _WORDS[int(rng.integers(len(_WORDS)))]
+                  for i in range(N_DB)}
+    batch_others = [["a photo of * * * " + _WORDS[int(rng.integers(len(_WORDS)))]
+                     for _ in range(B)] for _ in range(STEPS_PER_EPOCH)]
+
+    # ---- reference ---------------------------------------------------------
+    tmod = ref_trainer.patched
+    tmod.other_dict = other_dict  # module-global consumed at src/trainer.py:324
+    database = (torch.from_numpy(db_img), torch.from_numpy(db_txt),
+                [str(i) for i in range(N_DB)],
+                _FlatIndex(torch.from_numpy(db_img)),
+                _FlatIndex(torch.from_numpy(db_txt)))
+    optimizer = _ref_optimizer(i2t, rf, tc)
+    total_steps = STEPS_PER_EPOCH * EPOCHS
+    scheduler = ref_trainer.cosine_lr(optimizer, LR, WARMUP, total_steps)
+    loss_img = torch.nn.CrossEntropyLoss()
+    loss_txt = torch.nn.CrossEntropyLoss()
+    loss_extra = torch.nn.CosineEmbeddingLoss()
+    args = _ref_args()
+    ref_losses = []
+    with _CudaShim():
+        for epoch in range(EPOCHS):
+            for i, (feats, caps) in enumerate(batches):
+                step = STEPS_PER_EPOCH * epoch + i
+                scheduler(step)
+                optimizer.zero_grad()
+                capss = (torch.from_numpy(caps.copy()),
+                         ["s"] * B, batch_others[i])
+                total = tmod.get_loss_img2text(
+                    m, i2t, rf, tc, torch.from_numpy(feats.copy()), capss,
+                    loss_img, loss_txt, loss_extra, args, database=database)
+                ref_losses.append(float(total.detach()))
+                total.backward()
+                optimizer.step()
+
+    # ---- ours ---------------------------------------------------------------
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    clip_params, ccfg = convert.clip_state_dict_to_pytree(sd)
+    clip_params = jax.tree.map(jnp.asarray, clip_params)
+    _, i2t0, rf0, tc0 = _build_models(reference_src)
+    heads = FusionHeads(
+        img2text=convert.im2text_state_dict_to_pytree(
+            {k: v.numpy() for k, v in i2t0.state_dict().items()}),
+        retrieval_fuse=convert.crossformer_state_dict_to_pytree(
+            {k: v.numpy() for k, v in rf0.state_dict().items()}),
+        text_condition=convert.crossformer_state_dict_to_pytree(
+            {k: v.numpy() for k, v in tc0.state_dict().items()}),
+    )
+    heads = jax.tree.map(jnp.asarray, heads)
+    db = KnowledgeDB.from_arrays(db_img, db_txt, dtype=jnp.float32,
+                                 normalize=False)
+    retriever = Retriever(db)
+    db_other_tokens = jnp.asarray(jtok.tokenize(
+        ["a photo of * * " + other_dict[str(i)].replace("*", " ")
+         for i in range(N_DB)]))
+    cfg = SimpleNamespace(lr=LR, warmup=WARMUP, beta1=B1, beta2=B2, eps=EPS,
+                          wd=WD, skip_scheduler=False)
+    opt, _ = make_optimizer(cfg, total_steps)
+    opt_state = opt.init(heads)
+    step_fn = make_train_step(
+        clip_params, ccfg, retriever, opt, stream="text",
+        prompt_tokens=jtok.tokenize("a photo of"), split_id=jtok.star_token_id(),
+        grad_scale=1.0, dropout=0.0, db_topk=K, compute_dtype=jnp.float32,
+        db_other_tokens=db_other_tokens,
+    )
+    our_losses = []
+    base_rng = jax.random.PRNGKey(0)
+    n = 0
+    for _epoch in range(EPOCHS):
+        for i, (feats, caps) in enumerate(batches):
+            batch = TrainBatch(
+                image_features=jnp.asarray(feats),
+                caption_features=jnp.asarray(caps),
+                other_tokens=jnp.asarray(jtok.tokenize(batch_others[i])),
+            )
+            heads, opt_state, loss = step_fn(heads, opt_state, batch,
+                                             jax.random.fold_in(base_rng, n))
+            our_losses.append(float(loss))
+            n += 1
+
+    for s, (lr_, lj) in enumerate(zip(ref_losses, our_losses)):
+        assert lj == pytest.approx(lr_, rel=3e-4, abs=3e-5), (
+            f"step {s}: reference {lr_} vs ours {lj}\n"
+            f"ref trajectory: {ref_losses}\nour trajectory: {our_losses}")
+
+    expected = FusionHeads(
+        img2text=convert.im2text_state_dict_to_pytree(
+            {k: v.detach().numpy() for k, v in i2t.state_dict().items()}),
+        retrieval_fuse=convert.crossformer_state_dict_to_pytree(
+            {k: v.detach().numpy() for k, v in rf.state_dict().items()}),
+        text_condition=convert.crossformer_state_dict_to_pytree(
+            {k: v.detach().numpy() for k, v in tc.state_dict().items()}),
+    )
+    flat_e = jax.tree_util.tree_leaves_with_path(expected)
+    flat_h = jax.tree_util.tree_leaves_with_path(jax.tree.map(np.asarray, heads))
+    assert len(flat_e) == len(flat_h)
+    for (pe, ve), (ph, vh) in zip(flat_e, flat_h):
+        assert pe == ph
+        np.testing.assert_allclose(
+            vh, ve, atol=1e-4, rtol=1e-3,
+            err_msg=f"post-training parameter mismatch at {pe}")
+
+
+def test_committed_encode_text_img_train_crashes_on_k2(reference_src):
+    """Executable proof of PARITY.md item 7: the committed
+    encode_text_img_train (tail hardcoded at ind_insert+3) raises on the
+    K=2 pseudo-token fusions the text stream feeds it."""
+    m, _, _, _ = _build_models(reference_src, repair_encode_text_img=False)
+    text = torch.from_numpy(
+        np.asarray(jtok.tokenize("a photo of * * * red chair"))).to(torch.long)
+    text = text.repeat(B, 1)
+    tokens = torch.randn(B, 2, D)
+    with pytest.raises(RuntimeError, match="must match"):
+        m.encode_text_img_train(text, tokens,
+                                split_ind=jtok.star_token_id())
