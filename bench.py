@@ -186,9 +186,6 @@ def main() -> None:
         log(f"stage encode_image (DB-encode rate): {t_enc*1e3:.2f} ms/batch "
             f"({batch/t_enc:.0f} img/s)")
 
-        qb = jnp.asarray(rng.standard_normal((batch, cfg.embed_dim)),
-                         db.image_db.dtype)
-
         # Sub-RTT programs (a few ms) are unmeasurable through the tunnel by
         # chained or pipelined dispatch (~30 ms relay floor per dispatch);
         # repeat the body REP times INSIDE one jit with a scalar-feedback

@@ -71,6 +71,11 @@ def main(argv=None) -> None:
     resume_is_orbax = bool(cfg.resume) and os.path.isdir(cfg.resume)
     clip_source = ((cfg.clip_weights or cfg.model) if resume_is_orbax
                    else (cfg.resume or cfg.clip_weights or cfg.model))
+    if resume_is_orbax and not cfg.clip_weights:
+        logging.warning(
+            "orbax --resume carries heads only and no --clip-weights was "
+            "given: using CLIP from --model %r — make sure it is the tower "
+            "the heads were trained against", cfg.model)
     clip_params, ccfg, _, t_val = load_clip(
         clip_source, normalize_on_host=not cfg.device_preprocess)
     cast = lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a  # noqa: E731

@@ -236,8 +236,20 @@ def main(argv=None) -> None:
         template_prefix = "a photo of * * "
         names_hash = hashlib.sha1(
             "\n".join(retriever.db.names).encode()).hexdigest()
-        want_meta = {"rows": len(retriever.db.names),
+        # Also hash a strided subsample of the DB rows themselves: when the
+        # DB is loaded from bare arrays the names are synthesized ("0","1",
+        # ...), so names_sha1 degenerates to row-count-only and a same-size
+        # different-seed rebuild would pass the fingerprint.
+        n_rows = len(retriever.db.names)
+        sig = hashlib.sha1()
+        idx = np.unique(np.linspace(0, max(n_rows - 1, 0),
+                                    num=min(64, n_rows)).astype(int))
+        for arr in (retriever.db.image_db, retriever.db.text_db):
+            sig.update(np.ascontiguousarray(
+                np.asarray(arr[idx], np.float32)).tobytes())
+        want_meta = {"rows": n_rows,
                      "names_sha1": names_hash,
+                     "db_rows_sha1": sig.hexdigest(),
                      "template_prefix": template_prefix}
         have_meta = None
         if os.path.isfile(meta_path):

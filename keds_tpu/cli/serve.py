@@ -85,6 +85,13 @@ def main(argv=None) -> None:
     clip_source = cfg.resume
     if os.path.isdir(cfg.resume):
         clip_source = cfg.clip_weights or cfg.model
+        if not cfg.clip_weights:
+            # The heads were trained against SOME frozen CLIP; pairing them
+            # with a different tower produces garbage rankings with exit 0.
+            logging.warning(
+                "orbax --resume carries heads only and no --clip-weights was "
+                "given: using CLIP from --model %r — make sure it is the "
+                "tower the heads were trained against", cfg.model)
     clip_params, clip_cfg, _, t_val = load_clip(
         clip_source, target_pad=1.25 if cfg.target_pad else None,
         normalize_on_host=not cfg.device_preprocess,

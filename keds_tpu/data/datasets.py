@@ -387,6 +387,22 @@ def build_other_tokens(names: Sequence[str], other: Dict[str, str],
     ("a photo of * * " + other, src/trainer.py:323), so the text-stream loss
     can gather them on device by neighbor index instead of tokenizing per
     step on host."""
-    texts = [template_prefix + other.get(n.split(".")[0], "").replace("*", " ")
-             for n in names]
+    keys = [n.split(".")[0] for n in names]
+    missing = sum(1 for k in keys if k not in other)
+    if missing == len(names) and names:
+        # Every lookup missing means the caption map does not belong to this
+        # DB at all — tokenizing B empty templates would train the 0.5-weight
+        # neighbor term on bare prefixes with exit code 0.
+        raise ValueError(
+            "none of the knowledge-DB row names appear in the 'other' "
+            "caption map (cc_other.json) — wrong map for this DB?")
+    if missing:
+        import logging
+
+        logging.warning(
+            "%d/%d knowledge-DB rows have no 'other' caption entry; their "
+            "neighbor templates fall back to the bare prefix", missing,
+            len(names))
+    texts = [template_prefix + other.get(k, "").replace("*", " ")
+             for k in keys]
     return tokenize(texts)

@@ -336,11 +336,13 @@ class TarShardDataset:
         # rank can always reach the epoch budget — but if every sample on a
         # rank is undecodable (wrong caption map / image key), cycling
         # would spin forever.  Fail loudly after a long run of consecutive
-        # drops instead.  Fixed-size cap (NOT scaled by num_samples): a few
-        # global batches of consecutive failures is already proof of
-        # misconfiguration, and a dataset-sized limit at CC3M scale would
-        # burn ~12M failed decodes before raising (round-3 advisor finding).
-        drop_limit = max(10_000, 8 * self.batch_size * max(self.workers, 1))
+        # drops instead.  NOT scaled by the full dataset (a CC3M-sized limit
+        # burned ~12M failed decodes before raising — round-3 advisor
+        # finding), but big enough to skip a few whole shards: one corrupt
+        # tar in an otherwise healthy set must not abort the run mid-epoch.
+        per_shard = self.num_samples // max(len(self.shards), 1)
+        drop_limit = max(10_000, 8 * self.batch_size * max(self.workers, 1),
+                         4 * per_shard)
         dropped_streak = 0
         for out in self._decoded():
             if produced >= self.num_batches:

@@ -17,6 +17,7 @@ large-scale async checkpointing.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import re
@@ -224,11 +225,25 @@ def _delistify(tree):
     return tree
 
 
-def load_orbax_heads(path: str) -> Tuple[FusionHeads, int]:
+@functools.lru_cache(maxsize=1)
+def _orbax_restore_raw_cached(path: str, mtime_ns: int):
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
-        tree = ckptr.restore(os.path.abspath(path))
+        return ckptr.restore(path)
+
+
+def _orbax_restore_raw(path: str):
+    """One untargeted restore of the whole checkpoint tree, shared between
+    the heads load and the optimizer-state restore (resume reads both; a
+    ViT-L-scale tree re-read per consumer doubles resume latency).  maxsize=1
+    and keyed by directory mtime: a resume touches exactly one checkpoint,
+    and an overwritten epoch_latest.pt-style dir gets a fresh read."""
+    return _orbax_restore_raw_cached(path, os.stat(path).st_mtime_ns)
+
+
+def load_orbax_heads(path: str) -> Tuple[FusionHeads, int]:
+    tree = _orbax_restore_raw(os.path.abspath(path))
     heads = FusionHeads(**{k: _delistify(v) for k, v in tree["heads"].items()})
     logging.info("=> loaded orbax checkpoint '%s' (epoch %d)", path,
                  int(tree["epoch"]))
@@ -236,27 +251,24 @@ def load_orbax_heads(path: str) -> Tuple[FusionHeads, int]:
 
 
 def _restore_orbax_opt_state(path: str, template_opt_state):
-    import orbax.checkpoint as ocp
-
-    path = os.path.abspath(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        raw = ckptr.restore(path)
-        if "opt_state" not in raw:
-            logging.warning("orbax checkpoint %s has no optimizer state; "
-                            "reinitializing", path)
-            return template_opt_state
-        # Restore again against a full-tree target so the optax state classes
-        # (ScaleByAdamState etc.) come back as real objects, not dicts.
-        target = {k: v for k, v in raw.items()}
-        target["opt_state"] = template_opt_state
-        try:
-            tree = ckptr.restore(path, target)
-            return tree["opt_state"]
-        except Exception:  # structure drift: fall back to leaf transplant
-            leaves = jax.tree.leaves(raw["opt_state"])
-            treedef = jax.tree.structure(template_opt_state)
-            if treedef.num_leaves != len(leaves):
-                logging.warning("optimizer state in %s does not match; "
-                                "reinitializing", path)
-                return template_opt_state
-            return jax.tree.unflatten(treedef, leaves)
+    raw = _orbax_restore_raw(os.path.abspath(path))
+    if "opt_state" not in raw:
+        logging.warning("orbax checkpoint %s has no optimizer state; "
+                        "reinitializing", path)
+        return template_opt_state
+    # The untargeted restore returns plain containers (lists come back as
+    # digit-keyed dicts on some orbax versions — _delistify fixes the
+    # ordering: string-sorted keys would transplant moments of leaf 10
+    # before leaf 2).  Unflattening against the template treedef restores
+    # the real optax state classes (ScaleByAdamState etc.) positionally.
+    restored = _delistify(raw["opt_state"])
+    leaves = jax.tree.leaves(restored)
+    treedef = jax.tree.structure(template_opt_state)
+    t_leaves = jax.tree.leaves(template_opt_state)
+    if treedef.num_leaves != len(leaves) or any(
+            np.shape(a) != np.shape(b) for a, b in zip(leaves, t_leaves)):
+        logging.warning("optimizer state in %s does not match the current "
+                        "optimizer (leaves %d vs %d); reinitializing",
+                        path, len(leaves), treedef.num_leaves)
+        return template_opt_state
+    return jax.tree.unflatten(treedef, leaves)

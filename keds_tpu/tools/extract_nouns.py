@@ -107,6 +107,14 @@ def _process_chunk(chunk):
     extract_cc_noun.py:117-122 — pipe batching is strictly faster)."""
     out = []
     nlp = _WORKER_NLP
+    if _WORKER_HAVE_SPACY and nlp is None:
+        # The parent loaded spaCy (that is what _WORKER_HAVE_SPACY records),
+        # so a worker that cannot must not silently fall back to the
+        # heuristic — the output would mix the two splitters per-chunk.
+        raise RuntimeError(
+            "worker process could not load spaCy (en_core_web_sm) although "
+            "the parent did; fix the worker environment or rerun with "
+            "--workers 1")
     if _WORKER_HAVE_SPACY and nlp is not None:
         texts = [caption for _, caption in chunk]
         for (name, caption), doc in zip(chunk, nlp.pipe(texts, batch_size=256)):
@@ -182,9 +190,9 @@ def main(argv=None) -> None:
         _WORKER_HAVE_SPACY = nlp is not None
         _WORKER_NLP = nlp  # reuse the already-loaded pipeline (no re-load)
         for start in range(0, len(items), 50_000):
-            consume(_process_chunk(items[start:start + 50_000]))
-            if start:
-                logging.info("processed %d captions", start)
+            chunk = items[start:start + 50_000]
+            consume(_process_chunk(chunk))
+            logging.info("processed %d captions", start + len(chunk))
 
     import os
 

@@ -76,13 +76,16 @@ def _flatten(results: dict, fixed_epoch_label: bool) -> dict:
     return out
 
 
-def _print_table(title: str, table: dict, expected: dict) -> bool:
+def _print_table(title: str, table: dict, expected: dict,
+                 tol: float = 0.5) -> bool:
     """Emit the R@k table (and deltas vs expected, if given).  Returns True
-    when every expected number is met within ``--tolerance`` (stored on the
-    function by main)."""
-    tol = getattr(_print_table, "tolerance", 0.5)
+    when every expected number is met within ``tol`` recall points AND every
+    expected entry was actually found in the measured table — an expected
+    row/metric the evaluator never emitted (typo'd key, wrong eval mode)
+    must fail the gate, not pass it by never being compared."""
     ok = True
     print(f"\n== {title} ==")
+    matched = set()
     for row, metrics in table.items():
         cells = []
         for name, val in metrics.items():
@@ -90,12 +93,19 @@ def _print_table(title: str, table: dict, expected: dict) -> bool:
             if exp is None:
                 cells.append(f"{name}: {val:.2f}")
             else:
+                matched.add((row, name))
                 delta = val - float(exp)
                 mark = "OK" if delta >= -tol else "MISS"
                 ok = ok and delta >= -tol
                 cells.append(f"{name}: {val:.2f} (paper {exp:.2f}, "
                              f"{delta:+.2f} {mark})")
         print(f"  {row:30s} " + "  ".join(cells))
+    for row, metrics in (expected or {}).items():
+        for name in metrics:
+            if (row, name) not in matched:
+                print(f"  EXPECTED ENTRY NOT MEASURED: {row} / {name} "
+                      "(no such row/metric in the evaluator output)")
+                ok = False
     return ok
 
 
@@ -214,9 +224,8 @@ def main(argv=None) -> None:
     if args.expected:
         with open(args.expected) as f:
             expected = json.load(f).get(args.eval_mode, {})
-    _print_table.tolerance = args.tolerance
     ok = _print_table(f"{args.eval_mode.upper()} — measured vs expected",
-                      table, expected)
+                      table, expected, tol=args.tolerance)
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"eval_mode": args.eval_mode, "table": table,

@@ -152,7 +152,11 @@ def test_text_stream_template_cache_invalidation(tmp_path, caplog):
     np.save(feat_dir / "text_features.npy", rng.standard_normal((n, d)).astype(np.float32))
     names = [f"s{i}" for i in range(n)]
     (feat_dir / "names.json").write_text(json.dumps(names))
-    (feat_dir / "cc_other.json").write_text(json.dumps({m: "* at night" for m in names}))
+    # caption map covers every DB row of every rebuild below (a real rebuild
+    # samples the same corpus; a fully-disjoint map is refused loudly —
+    # tested separately)
+    (feat_dir / "cc_other.json").write_text(
+        json.dumps({f"s{i}": "* at night" for i in range(32)}))
 
     def write_db(db_dir, rows, prefix):
         db_dir.mkdir(exist_ok=True)
@@ -184,11 +188,36 @@ def test_text_stream_template_cache_invalidation(tmp_path, caplog):
     # the row check must compare against len(names), not the PADDED
     # sharded row count (24 rows on the 8-device mesh pad to 24, but 26
     # would pad to 32 — use a non-divisible size to pin it).
-    write_db(db_dir, 26, "t")
+    write_db(db_dir, 26, "s")
     caplog.set_level(logging.WARNING)
     train_main(args + ["--name", "tc2", "--db-shard"])
     assert "stale" in caplog.text
     assert np.load(cache).shape[0] == 26
+
+    # Rebuild with the SAME names and size but different row CONTENT (the
+    # rng advances between write_db calls): names_sha1 alone would pass —
+    # the db_rows_sha1 content signature must invalidate the cache.
+    old_bytes = cache.read_bytes()
+    caplog.clear()
+    write_db(db_dir, 26, "s")
+    train_main(args + ["--name", "tc3"])
+    assert "stale" in caplog.text
+    # same names -> identical tokens; staleness must have been DETECTED
+    # (rebuild path taken), not skipped
+    assert np.load(cache).shape[0] == 26 and cache.read_bytes() == old_bytes
+
+
+def test_text_stream_refuses_disjoint_caption_map(tmp_path):
+    """A caption map that covers none of the DB rows is a misconfiguration
+    (the text stream would train its neighbor term on bare template
+    prefixes) — must refuse, not run with exit 0."""
+    import pytest as _pytest
+
+    from keds_tpu.data.datasets import build_other_tokens
+
+    with _pytest.raises(ValueError, match="caption map"):
+        build_other_tokens([f"t{i}" for i in range(8)],
+                           {f"s{i}": "x" for i in range(8)})
 
 
 def test_train_cli_csv_raw_images(tmp_path):

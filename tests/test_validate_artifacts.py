@@ -179,3 +179,21 @@ def test_validate_artifacts_missing_local_path(tmp_path):
             "--text-stream", str(tmp_path / "nope2.pt"),
             "--db", str(tmp_path), "--data-root", str(tmp_path),
         ])
+
+
+def test_print_table_fails_on_unmatched_expected(capsys):
+    """An expected row/metric the evaluator never emitted (typo'd key, wrong
+    eval mode) must FAIL the gate, not pass by never being compared."""
+    from keds_tpu.tools.validate_artifacts import _print_table
+
+    table = {"mixture": {"recall_R@1": 30.0}}
+    ok = _print_table("t", table, {"mixture": {"recall_R@1": 29.9}}, tol=0.5)
+    assert ok
+    # typo'd row key
+    assert not _print_table("t", table, {"mixure": {"recall_R@1": 29.9}},
+                            tol=0.5)
+    # metric name the evaluator does not emit
+    assert not _print_table("t", table, {"mixture": {"recall_R@7": 1.0}},
+                            tol=0.5)
+    out = capsys.readouterr().out
+    assert "EXPECTED ENTRY NOT MEASURED" in out
