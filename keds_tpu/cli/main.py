@@ -312,7 +312,11 @@ def main(argv=None) -> None:
     # multi-process mesh, plain device_put on one host) — the analog of the
     # reference's per-rank DDP feed (src/main.py:483-486, src/data.py:797).
     def put(a):
-        return shard_batch(mesh, a)[0]
+        # allow_pad=False: the train loss has no trim point, so a
+        # non-divisible batch must refuse instead of training on silently
+        # duplicated pad rows (the loader guards with drop_last; this is
+        # the backstop).
+        return shard_batch(mesh, a, allow_pad=False)[0]
 
     def batches():
         if use_raw:

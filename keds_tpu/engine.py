@@ -67,14 +67,16 @@ class ComposedQueryEngine:
         together with the two-program split this serves 686 q/s/chip
         bf16-exact at the flagship size, BENCH_NOTES.md round-3).  None
         disables chunking."""
-        cast = lambda a: jnp.asarray(a, compute_dtype) if jnp.issubdtype(  # noqa: E731
-            np.asarray(a).dtype, np.floating) else jnp.asarray(a)
         self.cfg = cfg
+        from keds_tpu.models.convert import cast_floating
         from keds_tpu.ops.quant import maybe_quantize_clip
 
-        self.clip_c = maybe_quantize_clip(jax.tree.map(cast, clip_params),
-                                          quant_towers)
-        self.heads = jax.tree.map(cast, heads)
+        # cast_floating probes dtype without fetching device leaves to host
+        # (np.asarray on remote-resident params = GBs of sync transfer, and
+        # a crash for leaves spanning non-addressable devices).
+        self.clip_c = maybe_quantize_clip(
+            cast_floating(clip_params, compute_dtype), quant_towers)
+        self.heads = cast_floating(heads, compute_dtype)
         self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -102,20 +102,15 @@ class EvalContext:
     _heads_cache: dict = field(default_factory=dict)
 
     def __post_init__(self):
+        from keds_tpu.models.convert import cast_floating
         from keds_tpu.ops.quant import maybe_quantize_clip
 
-        # dtype probe must NOT fetch device arrays to host (np.asarray on a
-        # remote-resident ViT-L pytree = GBs of sync transfer).  NB a
-        # getattr DEFAULT argument is evaluated eagerly — the fallback must
-        # live behind a real branch.
-        def _leaf_dtype(a):
-            d = getattr(a, "dtype", None)
-            return d if d is not None else np.asarray(a).dtype
-
-        cast = lambda a: jnp.asarray(a, self.compute_dtype) if jnp.issubdtype(_leaf_dtype(a), np.floating) else jnp.asarray(a)  # noqa: E731
-
-        self.clip_c = maybe_quantize_clip(jax.tree.map(cast, self.clip_params),
-                                          self.quant_towers)
+        # cast_floating probes dtype without fetching device arrays to host
+        # (np.asarray on a remote-resident ViT-L pytree = GBs of sync
+        # transfer).
+        self.clip_c = maybe_quantize_clip(
+            cast_floating(self.clip_params, self.compute_dtype),
+            self.quant_towers)
         if self.mesh is not None and self.mesh.devices.size > 1:
             # Explicitly replicate the frozen params over the mesh: batches
             # arrive sharded (committed to all mesh devices), and any
@@ -269,10 +264,12 @@ def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
     corpus, target_paths = _encode_corpus(ctx, target_loader)
 
     def unpack(batch):
-        ref_images, text_with_blank, caption_only, ref_paths, answer_paths, _, _ = batch
+        # caption_only is NOT uploaded: the val evaluator never encodes it
+        # (only evaluate_cirr_test does) — keeping it would pin dead (N, 77)
+        # token arrays on device for the whole 30-epoch sweep.
+        ref_images, text_with_blank, _caption_only, ref_paths, answer_paths, _, _ = batch
         return ref_images, dict(
             text=jnp.asarray(text_with_blank),
-            caption_only=jnp.asarray(caption_only),
             ref_paths=list(ref_paths), answer_paths=list(answer_paths),
         )
 
@@ -403,6 +400,11 @@ def evaluate_coco(ctx: EvalContext, loader,
     corpus_parts = [_norm(ctx.image_features(b["target_images"]).astype(jnp.float32))
                     for b in cache]
     corpus = np.concatenate([fetch_global(c) for c in corpus_parts])
+    for b in cache:
+        # The raw target images are only needed for the corpus pass above;
+        # keeping them in the cache would pin ~3 GB of f32 HBM (5k-image
+        # COCO split) for the whole 25-epoch sweep.
+        del b["target_images"]
     compose = ctx.composed_fn("retrieval", use_text_condition=True)
     logit_scale = float(np.exp(np.asarray(ctx.clip_params["logit_scale"])))
     results = {}

@@ -25,6 +25,34 @@ Array = np.ndarray
 StateDict = Dict[str, Array]
 
 
+def cast_floating(tree, dtype):
+    """Cast every floating leaf of a param pytree to ``dtype`` (compute
+    precision policy); integer leaves (token tables etc.) pass through.
+
+    The dtype probe must NOT fetch device arrays to host: ``np.asarray`` on
+    a remote-resident ViT-L pytree is GBs of synchronous transfer, and a
+    leaf replicated over non-addressable devices (multi-process mesh) makes
+    it raise outright.  Every entry point that applies the precision policy
+    (EvalContext, ComposedQueryEngine, make_train_step) must go through
+    this helper — three hand-rolled copies drifted apart once.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def leaf_dtype(a):
+        d = getattr(a, "dtype", None)
+        # NB a getattr DEFAULT argument is evaluated eagerly — the host
+        # fallback (python scalars / lists) must live behind a real branch.
+        return d if d is not None else np.asarray(a).dtype
+
+    def cast(a):
+        return (jnp.asarray(a, dtype) if jnp.issubdtype(leaf_dtype(a),
+                                                        np.floating)
+                else jnp.asarray(a))
+
+    return jax.tree.map(cast, tree)
+
+
 def strip_module_prefix(sd: StateDict) -> StateDict:
     """Remove DDP 'module.' prefixes (reference src/main.py:267-274)."""
     if sd and next(iter(sd)).startswith("module."):

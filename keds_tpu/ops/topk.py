@@ -46,7 +46,7 @@ def mips_topk_fused(queries: jax.Array, db: jax.Array, k: int, *,
 
 
 def _merge_candidates(vals, gidx, k, axis_name, n_real):
-    """All-gather (W, B, k) local candidates over the mesh axis and take the
+    """All-gather (W, B, kc) local candidates over the mesh axis and take the
     global top-k; candidates pointing at padding rows (gidx >= n_real) are
     masked out — zero pad rows would otherwise outrank negative true
     scores."""
@@ -54,10 +54,9 @@ def _merge_candidates(vals, gidx, k, axis_name, n_real):
         vals = jnp.where(gidx < n_real, vals, -jnp.inf)
     all_vals = jax.lax.all_gather(vals, axis_name)
     all_idx = jax.lax.all_gather(gidx, axis_name)
-    W = all_vals.shape[0]
-    B = vals.shape[0]
-    cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(B, W * k)
-    cand_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(B, W * k)
+    W, B, kc = all_vals.shape
+    cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(B, W * kc)
+    cand_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(B, W * kc)
     mvals, mpos = jax.lax.top_k(cand_vals, k)
     midx = jnp.take_along_axis(cand_idx, mpos, axis=1)
     return mvals, midx
@@ -75,21 +74,39 @@ def _pad_candidates(vals, idx, k):
     return vals, idx
 
 
-def _local_then_merge(queries, db_shard, k, axis_name, backend, interpret, n_real):
-    """shard_map body: local top-k over this device's DB rows, then a global
-    merge over the mesh axis."""
-    n_local = db_shard.shape[0]
-    k_local = min(k, n_local)
-    if backend == "pallas":
-        vals, idx = mips_topk_fused(queries, db_shard, k_local, interpret=interpret)
-    elif backend == "approx":
-        vals, idx = mips_topk_approx(queries, db_shard, k_local)
-    else:
-        vals, idx = mips_topk(queries, db_shard, k_local)
+def _shard_merge_tail(vals, idx, k, k_cand, axis_name, n_real, n_local):
+    """Shared post-search tail of every sharded backend: offset local indices
+    to global, pad the candidate width to ``k_cand`` (uniform across shards —
+    the all-gather needs equal widths), and merge over the mesh axis."""
     shard = jax.lax.axis_index(axis_name)
     gidx = idx + (shard * n_local).astype(jnp.int32)
-    vals, gidx = _pad_candidates(vals, gidx, k)
+    vals, gidx = _pad_candidates(vals, gidx, k_cand)
     return _merge_candidates(vals, gidx, k, axis_name, n_real)
+
+
+def _local_then_merge(queries, db_shard, k, axis_name, backend, interpret,
+                      n_real, n_pad):
+    """shard_map body: local top-k over this device's DB rows, then a global
+    merge over the mesh axis.
+
+    Zero padding rows score exactly 0.0, which outranks negative true scores
+    (reachable for unit-norm CLIP features); masking only at merge time
+    (gidx >= n_real) cannot recover a true row a pad row already displaced
+    from the LOCAL candidate set.  Selecting ``n_pad`` extra local candidates
+    guarantees >= min(k, true rows in shard) true candidates survive the
+    merge mask — exact for every backend without kernel changes, and cheap:
+    ``n_pad`` is static and < axis size for ``KnowledgeDB.shard_over``
+    padding."""
+    n_local = db_shard.shape[0]
+    k_cand = min(k + n_pad, n_local)
+    if backend == "pallas":
+        vals, idx = mips_topk_fused(queries, db_shard, k_cand, interpret=interpret)
+    elif backend == "approx":
+        vals, idx = mips_topk_approx(queries, db_shard, k_cand)
+    else:
+        vals, idx = mips_topk(queries, db_shard, k_cand)
+    return _shard_merge_tail(vals, idx, k, max(k, k_cand), axis_name, n_real,
+                             n_local)
 
 
 def mips_topk_approx(
@@ -196,9 +213,10 @@ def mips_topk_sharded(
     ``n_real`` marks the true row count when the DB was padded to the axis.
     Results are identical (up to ties) to :func:`mips_topk` on the full DB.
     """
+    nr = n_real if n_real is not None else db.shape[0]
     body = partial(_local_then_merge, k=k, axis_name=axis_name,
                    backend=backend, interpret=interpret,
-                   n_real=n_real if n_real is not None else db.shape[0])
+                   n_real=nr, n_pad=db.shape[0] - nr)
     fn = jax.shard_map(
         body,
         mesh=mesh,
@@ -229,14 +247,15 @@ def mips_topk_int8_sharded(
     n_real = n_real if n_real is not None else n_total
 
     def body(q, d8, scale, *rest):
+        # n_pad extra local candidates so zero pad rows (which score 0.0 in
+        # int8 too) cannot displace negative-scoring true rows before the
+        # merge mask — see _local_then_merge.
         n_local = d8.shape[0]
-        k_local = min(k, n_local)
-        vals, idx = mips_topk_int8(q, d8, scale, k_local, oversample=oversample,
+        k_cand = min(k + (n_total - n_real), n_local)
+        vals, idx = mips_topk_int8(q, d8, scale, k_cand, oversample=oversample,
                                    db=rest[0] if rest else None)
-        shard = jax.lax.axis_index(axis_name)
-        gidx = idx + (shard * n_local).astype(jnp.int32)
-        vals, gidx = _pad_candidates(vals, gidx, k)
-        return _merge_candidates(vals, gidx, k, axis_name, n_real)
+        return _shard_merge_tail(vals, idx, k, max(k, k_cand), axis_name,
+                                 n_real, n_local)
 
     args = (queries, db_i8, db_scale)
     in_specs = [P(), P(axis_name, None), P(axis_name)]

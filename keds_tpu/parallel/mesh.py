@@ -132,12 +132,17 @@ def local_mesh_size(mesh: Mesh) -> int:
     return sum(1 for d in mesh.devices.flat if d.process_index == pid)
 
 
-def shard_batch(mesh: Mesh, x, axis_name: str = "data"):
+def shard_batch(mesh: Mesh, x, axis_name: str = "data", allow_pad: bool = True):
     """Place a batch sharded over the mesh axis; returns (array, real_count).
 
     Single process: pad to a multiple of the axis (repeating the last row)
     and ``device_put`` onto the global sharding; ``real_count`` is the
-    pre-padding row count.
+    pre-padding row count.  Padding is only sound for callers that trim
+    ``[:real_count]`` after the computation (the eval/serve feed,
+    :func:`shard_global_batch`); a TRAINING loss has no trim point — pad
+    rows would enter the InfoNCE matrix as duplicate negatives and silently
+    bend the trajectory — so the train feed passes ``allow_pad=False`` to
+    get the same loud refusal the multi-process branch already gives.
 
     Multi process: ``x`` is this process's LOCAL batch (the reference feeds
     one per-rank batch under DDP, src/main.py:483-486 + DistributedSampler
@@ -155,6 +160,13 @@ def shard_batch(mesh: Mesh, x, axis_name: str = "data"):
         w = mesh.shape[axis_name]
         pad = (-n) % w
         if pad:
+            if not allow_pad:
+                raise ValueError(
+                    f"batch of {n} rows does not divide the mesh axis "
+                    f"({w} devices) and this caller cannot trim padding "
+                    f"rows — size batches as a multiple of the mesh "
+                    f"(drop_last) or pass allow_pad=True and trim "
+                    f"[:real_count]")
             x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
         return jax.device_put(x, NamedSharding(mesh, P(axis_name))), n
     import numpy as np

@@ -82,10 +82,9 @@ def make_train_step(
     src/trainer.py:321-326).
     """
     prompt = jnp.asarray(prompt_tokens)
-    clip_c = jax.tree.map(
-        lambda a: a.astype(compute_dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-        clip_params,
-    )
+    from keds_tpu.models.convert import cast_floating
+
+    clip_c = cast_floating(clip_params, compute_dtype)
     # Keep logit_scale in f32 (it feeds the f32 logits).
     clip_c["logit_scale"] = jnp.asarray(clip_params["logit_scale"], jnp.float32)
     db_img, db_txt = retriever.db.image_db, retriever.db.text_db
@@ -186,7 +185,8 @@ def train_epoch(
     log_every: int = 500,
     schedule: Optional[Callable] = None,
     writers: Tuple = (),
-    world_size: int = 1,
+    world_size: int = 1,  # kept for call-site compat; progress uses the
+    # global batch shape directly (see the batch_n comment below)
     profile_dir: Optional[str] = None,
     profile_window: Tuple[int, int] = (10, 20),
 ) -> Tuple[FusionHeads, object]:
@@ -221,9 +221,14 @@ def train_epoch(
             timer.step_done()
             lr = float(schedule(step)) if schedule else float("nan")
             pct = 100.0 * i / max(steps_per_epoch, 1)
+            # Batches arrive as GLOBAL sharded arrays (shard_batch assembles
+            # the world batch), so shape[0] already counts every rank's rows
+            # — multiplying by world_size here would overstate samples-seen
+            # by the process count (the reference multiplies its PER-RANK
+            # len(images) by world_size, src/trainer.py:497).
             batch_n = jax.tree.leaves(batch)[0].shape[0]
             logging.info(
-                f"Train Epoch: {epoch} [{i * batch_n * world_size}"
+                f"Train Epoch: {epoch} [{i * batch_n}"
                 f" ({pct:.0f}%)]\tLoss: {loss_val:.6f}\tData (t) {timer.data_time:.3f}"
                 f"\tBatch (t) {timer.batch_time:.3f}\tLR: {lr:5f}"
             )

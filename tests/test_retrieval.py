@@ -80,6 +80,44 @@ def test_sharded_with_padding():
     np.testing.assert_allclose(np.asarray(tt), np.asarray(tt2), rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_pad_rows_cannot_displace_negative_scores():
+    """Zero pad rows score exactly 0.0, which outranks NEGATIVE true scores
+    (reachable for unit-norm CLIP features).  Regression: the sharded search
+    once masked pads only AFTER the per-shard local top-k, so a pad row
+    could displace the globally-best row from its shard's candidate set —
+    here row 24 (the global top-1) shares a shard with three pad rows and
+    was lost entirely."""
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    d = 64
+    img = np.zeros((25, d), np.float32)
+    img[:, 0] = -1.0          # every true score is negative for q = e0
+    img[24, 0] = -0.05        # global best, lives in the pad-carrying shard
+    q = np.zeros((3, d), np.float32)
+    q[:, 0] = 1.0
+    gvals, gidx = mips_topk(jnp.asarray(q), jnp.asarray(img), 2)
+    assert int(np.asarray(gidx)[0, 0]) == 24
+    padded = np.zeros((32, d), np.float32)
+    padded[:25] = img
+    svals, sidx = mips_topk_sharded(jnp.asarray(q), jnp.asarray(padded), 2,
+                                    mesh, n_real=25)
+    np.testing.assert_array_equal(np.asarray(sidx), np.asarray(gidx))
+    np.testing.assert_allclose(np.asarray(svals), np.asarray(gvals),
+                               rtol=1e-5, atol=1e-6)
+
+    # Same displacement class in the int8 sharded path (pads quantize to
+    # zero rows and still score 0.0).
+    from keds_tpu.ops.topk import mips_topk_int8_sharded, quantize_int8
+
+    db_i8, db_scale = quantize_int8(jnp.asarray(padded))
+    ivals, iidx = mips_topk_int8_sharded(
+        jnp.asarray(q), db_i8, db_scale, 2, mesh, n_real=25,
+        db=jnp.asarray(padded))
+    np.testing.assert_array_equal(np.asarray(iidx), np.asarray(gidx))
+    np.testing.assert_allclose(np.asarray(ivals), np.asarray(gvals),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_retrieve_features_semantics():
     """Gathered rows must be the DB rows at the top-k indices; image-side
     shuffle is a permutation of the same 16 neighbors (reference

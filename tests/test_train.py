@@ -257,3 +257,18 @@ def test_text_stream_requires_db_other_tokens():
     with pytest.raises(ValueError, match="db_other_tokens"):
         make_train_step(params, cfg, Retriever(db), optax.adamw(1e-3),
                         stream="text", prompt_tokens=prompt, split_id=265)
+
+
+def test_shard_batch_refuses_nondivisible_train_feed():
+    """allow_pad=False (the train feed): a batch that does not divide the
+    mesh axis must refuse loudly — the loss has no trim point, so pad rows
+    would enter InfoNCE as silently duplicated negatives.  The default
+    (eval/serve feed) keeps padding and reports the real count to trim."""
+    from keds_tpu.parallel.mesh import shard_batch
+
+    mesh = make_mesh()
+    x = jnp.zeros((9, 4), jnp.float32)  # 9 rows on the 8-device mesh
+    with pytest.raises(ValueError, match="divide the mesh axis"):
+        shard_batch(mesh, x, allow_pad=False)
+    arr, n = shard_batch(mesh, x)
+    assert arr.shape[0] == 16 and n == 9
