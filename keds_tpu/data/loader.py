@@ -147,6 +147,20 @@ class DataLoader:
         pool = self._make_pool()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
+
+        def put(item) -> bool:
+            # A plain q.put blocks forever once the consumer stops pulling
+            # (generator closed early, e.g. a steps_per_epoch-capped train
+            # epoch) — the producer thread and its pool then leak per
+            # early-exited iteration.  Poll the cancel flag instead.
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # Exceptions must reach the consumer: a swallowed fetch error
@@ -155,10 +169,11 @@ class DataLoader:
             # wrong results with exit code 0).
             try:
                 for b in batches:
-                    q.put(self._fetch(pool, b))
-                q.put(stop)
+                    if not put(self._fetch(pool, b)):
+                        return
+                put(stop)
             except BaseException as e:  # noqa: BLE001 - relayed to consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -172,6 +187,13 @@ class DataLoader:
                 if item is not None:
                     yield item
         finally:
+            cancel.set()
+            while True:  # unblock a producer mid-put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)  # a fetch in flight finishes first; bounded
             # thread pools are per-iteration; the process pool persists so
             # repeated epochs don't respawn workers
             if pool is not None and not isinstance(pool, ProcessPoolExecutor):

@@ -195,6 +195,40 @@ def test_loader_world_sharding():
     assert sorted(seen) == data
 
 
+def test_loader_early_exit_reclaims_producer():
+    """Closing the batch iterator early (steps_per_epoch-capped epochs break
+    out of it) must terminate the prefetch producer thread — it used to
+    block forever on a full queue, leaking a thread + its pool + pinned
+    batches per early-exited iteration."""
+    import threading
+    import time
+
+    class DS:
+        def __len__(self):
+            return 400
+
+        def __getitem__(self, i):
+            return np.full((4,), i, np.float32)
+
+    before = set(threading.enumerate())
+    dl = DataLoader(DS(), batch_size=4, num_workers=2, prefetch=2)
+    it = iter(dl)
+    first = next(it)
+    assert first.shape == (4, 4)
+    it.close()  # GeneratorExit at the yield -> finally must stop the producer
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"leaked threads: {leaked}"
+    # and a fresh full iteration over the same loader still works
+    total = sum(b.shape[0] for b in dl)
+    assert total == 400
+
+
 def test_build_database_int8_artifacts(tmp_path):
     pytest.importorskip("torch")
     import jax.numpy as jnp
