@@ -303,6 +303,7 @@ def main(argv=None) -> None:
         db_topk=cfg.db_topk,
         db_other_tokens=db_other_tokens,
         compute_dtype=dtype,
+        mesh=mesh,  # raw-mode chunked encode stays per-shard on multi-device
     )
 
     writers = (ScalarWriters(cfg),) if jax.process_index() == 0 else ()

@@ -78,15 +78,28 @@ class RawBatch(NamedTuple):
     other_tokens: jax.Array        # (B, 77) templates (zeros if unavailable)
 
 
-def encode_raw_batch(clip_params, cfg: mclip.ClipConfig, batch: RawBatch) -> TrainBatch:
+def encode_raw_batch(clip_params, cfg: mclip.ClipConfig, batch: RawBatch,
+                     encode_chunk: int | None = None,
+                     mesh=None) -> TrainBatch:
     """Frozen-CLIP feature computation for raw batches, under stop_gradient
     (the reference wraps this in torch.no_grad, src/trainer.py:48-52).
     uint8 images (the device-preprocess wire format) are normalized
-    in-graph; float images pass through unchanged."""
-    from keds_tpu.transforms import device_normalize
+    in-graph; float images pass through unchanged.
 
-    img = jax.lax.stop_gradient(
-        mclip.encode_image(clip_params, cfg, device_normalize(batch.images)))
+    ``encode_chunk``: run the image encode in b32 lax.map chunks — the same
+    macro-batch schedule as the serving pipeline (encode peaks at b32 on
+    v5e; +8.6% on the whole raw step at b128, 444 -> 482 samples/s,
+    BENCH_NOTES round-4).  Under a multi-device ``mesh`` the chunk loop
+    moves inside each shard via shard_map (chunking the global batch would
+    reshape the sharded axis); shards smaller than the chunk fall back to
+    one shot."""
+    if mesh is not None and mesh.devices.size > 1:
+        img = mclip.encode_image_chunked_mesh(clip_params, cfg, batch.images,
+                                              encode_chunk, mesh)
+    else:
+        img = mclip.encode_image_chunked(clip_params, cfg, batch.images,
+                                         encode_chunk)
+    img = jax.lax.stop_gradient(img)
     txt = jax.lax.stop_gradient(mclip.encode_text(clip_params, cfg, batch.caption_tokens))
     return TrainBatch(
         image_features=img.astype(jnp.float32),

@@ -71,6 +71,8 @@ def make_train_step(
     db_topk: int = 16,
     db_other_tokens: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
+    encode_chunk: Optional[int] = mclip.DEFAULT_ENCODE_CHUNK,
+    mesh=None,
 ):
     """Build the jitted train step for one stream.
 
@@ -80,6 +82,10 @@ def make_train_step(
     "a photo of * * {other}" templates for every DB row, gathered on device
     by neighbor index (replacing the reference's per-step host tokenization,
     src/trainer.py:321-326).
+    ``encode_chunk``/``mesh`` only affect RawBatch steps: the frozen-CLIP
+    image encode runs in b32 chunks (the serving macro schedule, +8.6% on
+    the raw step — see :func:`keds_tpu.train.losses.encode_raw_batch`);
+    pass the mesh on multi-device runs so the chunk loop stays per-shard.
     """
     prompt = jnp.asarray(prompt_tokens)
     from keds_tpu.models.convert import cast_floating
@@ -115,7 +121,8 @@ def make_train_step(
         r_shuffle, r_drop = jax.random.split(rng)
         if isinstance(batch, RawBatch):
             # tar-streaming mode: frozen-CLIP encode on the fly, in-graph
-            batch = encode_raw_batch(clip_c, cfg, batch)
+            batch = encode_raw_batch(clip_c, cfg, batch,
+                                     encode_chunk=encode_chunk, mesh=mesh)
         feats = batch.image_features
         topk_img, topk_txt = retriever.retrieve_features(
             feats, k=db_topk, rng=r_shuffle, shuffle_image=True,
