@@ -101,12 +101,14 @@ def main(argv=None) -> None:
         elif sd:
             img2text = convert.im2text_state_dict_to_pytree(sd)
 
-    from keds_tpu.transforms import device_normalize
-
     # CLIP params are jit arguments, not closures (closure constants inline
     # into the HLO; remote-compile backends reject the result — rule 3).
+    # encode_image_chunked = the b32 macro schedule used by every other
+    # encode consumer (engine/evaluators/raw step; normalizes u8 in-graph);
+    # demo batches smaller than the chunk fall back to one shot.
     _enc = jax.jit(
-        lambda cp, im: mclip.encode_image(cp, ccfg, device_normalize(im)))
+        lambda cp, im: mclip.encode_image_chunked(
+            cp, ccfg, im, mclip.DEFAULT_ENCODE_CHUNK))
     encode_image = lambda im: _enc(clip_c, im)  # noqa: E731
 
     # ---- retrieval corpus --------------------------------------------------
