@@ -78,10 +78,10 @@ def main(argv=None) -> None:
             "the heads were trained against", cfg.model)
     clip_params, ccfg, _, t_val = load_clip(
         clip_source, normalize_on_host=not cfg.device_preprocess)
-    cast = lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a  # noqa: E731
+    from keds_tpu.models.convert import cast_floating
     from keds_tpu.ops.quant import maybe_quantize_clip
 
-    clip_c = maybe_quantize_clip(jax.tree.map(cast, clip_params),
+    clip_c = maybe_quantize_clip(cast_floating(clip_params, dtype),
                                  cfg.quant_towers)
 
     # img2text head from the checkpoint: CrossFormer -> late fusion,

@@ -57,8 +57,9 @@ def main(argv=None) -> None:
 
     clip_params, cfg, _, t_val = load_clip(
         args.clip_weights, normalize_on_host=not args.device_preprocess)
-    cast = lambda a: a.astype(jnp.bfloat16) if jnp.issubdtype(a.dtype, jnp.floating) else a  # noqa: E731
-    clip_c = jax.tree.map(lambda a: cast(jnp.asarray(a)), clip_params)
+    from keds_tpu.models.convert import cast_floating
+
+    clip_c = cast_floating(clip_params, jnp.bfloat16)
 
     if args.captions.endswith(".pkl"):
         import pickle
