@@ -94,6 +94,27 @@ def main(argv=None) -> None:
     names: list = []
     row = 0
     t0 = time.time()
+
+    # Two-deep in-flight window: dispatch batch i+1 before fetching batch
+    # i's results, so the per-batch fetch round trip (2 syncs x ~30 ms
+    # through a tunneled backend) hides behind device execution — the same
+    # pipelined-dispatch discipline as the serving engine.  At CC3M scale
+    # the synchronous loop idled the device ~13% per batch.
+    import collections
+
+    inflight: collections.deque = collections.deque()
+
+    def drain_one():
+        nonlocal row
+        img_f, txt_f, r0, b = inflight.popleft()
+        img_mm[r0:r0 + b] = np.asarray(img_f.astype(jnp.float32), out_dtype)
+        txt_mm[r0:r0 + b] = np.asarray(txt_f.astype(jnp.float32), out_dtype)
+        row = r0 + b
+        if row % (args.batch_size * 20) == 0:
+            rate = row / (time.time() - t0)
+            logging.info("encoded %d/%d (%.0f imgs/s)", row, n, rate)
+
+    next_row = 0
     for images, paths in loader:
         basenames = [os.path.basename(p).split(".")[0] for p in paths]
         caps = [str(cap_map.get(b, "")) for b in basenames]
@@ -102,14 +123,13 @@ def main(argv=None) -> None:
             images = images.astype(jnp.bfloat16)
         img_f = enc_img(clip_c, jnp.asarray(images))
         txt_f = enc_txt(clip_c, jnp.asarray(tokenize(caps)))
-        b = len(basenames)
-        img_mm[row:row + b] = np.asarray(img_f.astype(jnp.float32), out_dtype)
-        txt_mm[row:row + b] = np.asarray(txt_f.astype(jnp.float32), out_dtype)
+        inflight.append((img_f, txt_f, next_row, len(basenames)))
         names.extend(basenames)
-        row += b
-        if row % (args.batch_size * 20) == 0:
-            rate = row / (time.time() - t0)
-            logging.info("encoded %d/%d (%.0f imgs/s)", row, n, rate)
+        next_row += len(basenames)
+        if len(inflight) >= 2:
+            drain_one()
+    while inflight:
+        drain_one()
     img_mm.flush()
     txt_mm.flush()
     with open(os.path.join(args.out, "names.json"), "w") as f:

@@ -137,6 +137,86 @@ def test_build_database_tool(tmp_path):
                                np.asarray(db.image_db), atol=1e-6)
 
 
+def test_extract_features_tool_end_to_end(tmp_path):
+    """The offline feature-extraction tool (reference save_feature pass):
+    images dir + caption map -> packed (N, D) npy pair + names.json, rows
+    matching a direct frozen-CLIP encode of the same inputs (pipelined
+    two-deep dispatch must not reorder or drop rows)."""
+    pytest.importorskip("torch")
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from keds_tpu.io.checkpoint import save_train_checkpoint
+    from keds_tpu.models import clip as mclip, heads as mheads
+    from keds_tpu.models.composition import FusionHeads
+    from keds_tpu.tools.extract_features import main as extract_main
+
+    D = 64
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=2,
+    )
+    clip_params = mclip.init_clip(jax.random.key(0), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, D, 48, D),
+        retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+    )
+    weights = str(tmp_path / "clip.pt")
+    save_train_checkpoint(weights, epoch=1, name="t", clip_params=clip_params,
+                          clip_cfg=cfg, heads=heads)
+    rng = np.random.default_rng(0)
+    images = tmp_path / "imgs"
+    images.mkdir()
+    n = 7  # not a batch multiple: the ragged tail must survive the pipeline
+    for i in range(n):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            images / f"img{i}.png")
+    caps = {f"img{i}": f"a photo number {i}" for i in range(n)}
+    (tmp_path / "caps.json").write_text(json.dumps(caps))
+
+    out = tmp_path / "features"
+    extract_main([
+        "--images", str(images), "--captions", str(tmp_path / "caps.json"),
+        "--clip-weights", weights, "--out", str(out),
+        "--batch-size", "3", "--workers", "0",
+    ])
+    img_f = np.load(out / "image_features.npy")
+    txt_f = np.load(out / "text_features.npy")
+    names = json.loads((out / "names.json").read_text())
+    assert img_f.shape == (n, D) and txt_f.shape == (n, D)
+    assert names == [f"img{i}" for i in range(n)]
+
+    # rows must match a direct encode of the same (image, caption) pairs
+    from keds_tpu.models.convert import cast_floating
+    from keds_tpu.models.loader import load_clip
+    from keds_tpu.tokenizer import tokenize
+
+    clip_loaded, lcfg, _, t_val = load_clip(weights)
+    clip_c = cast_floating(clip_loaded, jnp.bfloat16)
+    im = np.stack([np.asarray(t_val(Image.open(images / f"img{i}.png")))
+                   for i in range(n)])
+    from keds_tpu.transforms import device_normalize
+
+    ref_img = np.asarray(mclip.encode_image(
+        clip_c, lcfg, device_normalize(jnp.asarray(im))).astype(jnp.float32))
+    ref_txt = np.asarray(mclip.encode_text(
+        clip_c, lcfg,
+        jnp.asarray(tokenize([caps[f"img{i}"] for i in range(n)]))
+    ).astype(jnp.float32))
+    np.testing.assert_allclose(img_f, ref_img, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(txt_f, ref_txt, rtol=2e-2, atol=2e-2)
+    # tight row alignment: each tool row must be closest to ITS direct row
+    sims = (img_f / np.linalg.norm(img_f, axis=1, keepdims=True)) @ (
+        ref_img / np.linalg.norm(ref_img, axis=1, keepdims=True)).T
+    assert (np.argmax(sims, axis=1) == np.arange(n)).all()
+
+
 def test_noun_heuristic():
     subject, other = extract_noun_phrase_heuristic("a small dog in the park")
     assert subject == "a small dog"
