@@ -288,9 +288,15 @@ def eot_indices(text: jax.Array, eot_id: int) -> jax.Array:
 
 def _text_transformer(params: dict, cfg: ClipConfig, x: jax.Array) -> jax.Array:
     t = params["text"]
-    x = x + t["pos"].astype(x.dtype)
+    # S from the input, not cfg.context_length: a CAUSAL tower computed over
+    # a PREFIX of the sequence produces bit-identical outputs for those
+    # positions (later positions never feed earlier ones), which lets
+    # fixed-prompt callers truncate — the image-stream train step runs S=8
+    # instead of 77 (make_train_step; measured in BENCH_NOTES round-4).
+    S = x.shape[1]
+    x = x + t["pos"][:S].astype(x.dtype)
     x = transformer(x, t["blocks"], cfg.transformer_heads,
-                    causal_mask(cfg.context_length), causal=True)
+                    causal_mask(S), causal=True)
     return layer_norm(x, t["ln_final_g"], t["ln_final_b"])
 
 

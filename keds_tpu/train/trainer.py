@@ -88,6 +88,21 @@ def make_train_step(
     pass the mesh on multi-device runs so the chunk loop stays per-shard.
     """
     prompt = jnp.asarray(prompt_tokens)
+    if stream == "image":
+        # The image-stream prompt is FIXED ("a photo of": SOT..EOT at
+        # position 4) and the splice pools at eot+K — every position past
+        # the pool index is dead weight in a CAUSAL tower (later positions
+        # never feed earlier ones), so truncate the context from 77 to the
+        # next sublane multiple covering the pool (S=8 for the reference
+        # prompt).  Bit-exact for the loss AND the head gradients (positions
+        # past the pool receive zero cotangent); ~9.6x less text-tower work
+        # in the step (BENCH_NOTES round-4).  The text stream keeps S=77:
+        # its {other} templates have per-row variable EOT positions.
+        eot_pos = int(np.argmax(np.asarray(prompt_tokens)[0] == cfg.eot_id))
+        k_pseudo = 3  # fused + text-condition + mapped (compose_pseudo_tokens)
+        s_t = -(-(eot_pos + k_pseudo + 1) // 8) * 8
+        if s_t < prompt.shape[1]:
+            prompt = prompt[:, :s_t]
     from keds_tpu.models.convert import cast_floating
 
     clip_c = cast_floating(clip_params, compute_dtype)

@@ -259,6 +259,37 @@ def test_text_stream_requires_db_other_tokens():
                         stream="text", prompt_tokens=prompt, split_id=265)
 
 
+def test_causal_prompt_truncation_exact():
+    """A causal text tower computed over a PREFIX of the sequence produces
+    identical outputs for those positions — the basis for the image-stream
+    train step running its fixed prompt at S=8 instead of 77 (the pool
+    index is 7; everything past it is dead weight).  Pin encoder-level
+    equality between the full-77 and truncated splice."""
+    import jax
+
+    from keds_tpu.models import clip as mclip
+
+    cfg = mclip.ClipConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=16, transformer_width=32, transformer_heads=2,
+        transformer_layers=2,
+    )
+    params = mclip.init_clip(jax.random.key(0), cfg)
+    B, K = 4, 3
+    prompt = np.zeros((1, 77), np.int32)
+    prompt[0, :5] = [49406, 320, 1125, 539, 49407]  # "a photo of", EOT at 4
+    text77 = jnp.asarray(np.tile(prompt, (B, 1)))
+    tokens = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, K, 32)), jnp.float32)
+    full = mclip.encode_text_img(params, cfg, text77, tokens)
+    trunc = mclip.encode_text_img(params, cfg, text77[:, :8], tokens)
+    np.testing.assert_allclose(np.asarray(trunc), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
+    # the step-level effect (including gradients) is pinned by the
+    # training-trajectory parity test, which runs the truncated step
+    # against the reference's full-77 train loop
+
+
 def test_shard_batch_refuses_nondivisible_train_feed():
     """allow_pad=False (the train feed): a batch that does not divide the
     mesh axis must refuse loudly — the loss has no trim point, so pad rows
