@@ -113,6 +113,10 @@ def main() -> None:
                         "composed program (encode is fastest at b32; "
                         "retrieval/text-tower MXU utilization grows with "
                         "batch — chunked encode decouples the two)")
+    p.add_argument("--query-tokens", type=int, default=None,
+                   help="composed-query caption length in tokens (default "
+                        "14, a typical CIRR relative caption -> the S=32 "
+                        "text bucket; 76 forces the full-width program)")
     p.add_argument("--u8", action="store_true",
                    help="feed uint8 images + in-graph normalization (the "
                         "device-preprocess wire format; 2x less transfer "
@@ -166,9 +170,24 @@ def main() -> None:
         return jnp.asarray(r.standard_normal((batch, 224, 224, 3)), dtype)
 
     images = make_images(rng)
+    # Realistic CIRR-length composed query: "a photo of * , {caption}" with
+    # a ~14-token relative caption (EOT at 21).  The engine buckets text by
+    # the batch's host-known max length (keds_tpu.engine.bucket_text;
+    # equality-tested vs full width) — this lands in the S=32 bucket, the
+    # one typical CIRR/serving captions hit.  Overridable for sweeps:
+    # --query-tokens 76 forces the full-width S=77 program.
+    from keds_tpu.engine import bucket_text
+
+    n_cap = max(args.query_tokens or 14, 1)
     text = np.zeros((batch, 77), np.int32)
-    text[:, :8] = [49406, 320, 1125, 539, 265, 267, 1929, 49407]
-    text = jnp.asarray(text)
+    text[:, 0] = 49406
+    text[:, 1:4] = [320, 1125, 539]           # "a photo of"
+    text[:, 4:6] = [265, 267]                 # "* ,"
+    end = min(6 + n_cap, 76)
+    text[:, 6:end] = rng.integers(1000, 40000, (batch, end - 6))
+    text[:, end] = 49407
+    text = jnp.asarray(bucket_text(text))
+    log(f"query text: caption {n_cap} tokens -> S={text.shape[1]} bucket")
 
     # --- optional stage timings (stderr) ----------------------------------
     # Big arrays (CLIP params, DB) are always jit ARGUMENTS, never closures.

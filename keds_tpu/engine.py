@@ -28,6 +28,36 @@ from keds_tpu.retrieval.database import KnowledgeDB, Retriever
 from keds_tpu.tokenizer import star_token_id
 
 
+# Text-length buckets for the compose program.  The splice pools at
+# eot+(K-1) and a CAUSAL tower's outputs at those positions are
+# bit-identical whether or not the dead tail (zero padding past every row's
+# pool index) is computed — so the batch's host-known max caption length
+# picks the shortest bucket and the text tower runs S=16/32 instead of 77
+# for realistic captions (+5% headline, BENCH_NOTES round-4).  A small
+# fixed set bounds program compiles (one per bucket through a
+# remote-compile tunnel).
+TEXT_BUCKETS = (16, 32, 77)
+_N_PSEUDO = 3  # fused + text-condition + mapped (compose_pseudo_tokens)
+
+
+def bucket_text(tx, buckets=TEXT_BUCKETS) -> np.ndarray:
+    """Trim a (B, 77) token batch to the shortest bucket covering every
+    row's post-splice pool index (eot + K-1, K=3 pseudo tokens); rows whose
+    EOT runs past the largest covering bucket keep the full width."""
+    from keds_tpu.tokenizer import EOT_TOKEN
+
+    tx = np.asarray(tx)
+    if tx.shape[1] <= buckets[0]:
+        return tx
+    # pool index = eot + (K-1) after the splice shifts the tail right by
+    # K-1; the bucket must cover it (index < S)
+    need = int(np.argmax(tx == EOT_TOKEN, axis=1).max()) + _N_PSEUDO
+    for b in buckets:
+        if need <= b:
+            return tx[:, :b] if b < tx.shape[1] else tx
+    return tx
+
+
 class DeviceCorpus(NamedTuple):
     """A retrieval corpus resident in device HBM (row-sharded under a mesh).
 
@@ -159,6 +189,12 @@ class ComposedQueryEngine:
             outs.append(self._encode(self.clip_c, x)[:n])
         return np.concatenate([fetch_global(o.astype(jnp.float32)) for o in outs])
 
+    # Text-length buckets for the compose program (see bucket_text).
+    TEXT_BUCKETS = TEXT_BUCKETS
+
+    def _bucket_text(self, tx) -> "np.ndarray":
+        return bucket_text(tx, self.TEXT_BUCKETS)
+
     # -- queries ------------------------------------------------------------
     def _compose_device(self, image_batches: Sequence, text_batches: Sequence):
         """Dispatch the two-program composed query per batch; yields
@@ -166,7 +202,7 @@ class ComposedQueryEngine:
         quant = self.retriever.quant_arrays()
         for im, tx in zip(image_batches, text_batches):
             xi, n = self._shard(jnp.asarray(im))
-            xt, _ = self._shard(jnp.asarray(tx))
+            xt, _ = self._shard(jnp.asarray(self._bucket_text(tx)))
             f = self._enc_feats(self.clip_c, xi)
             yield self._rest(
                 self.clip_c, self.heads, self.db.image_db, self.db.text_db,

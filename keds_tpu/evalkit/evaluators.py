@@ -227,6 +227,19 @@ class EvalContext:
         return heads
 
 
+def _bucket(text) -> np.ndarray:
+    """Trim a (B, 77) token batch to the shortest serving text bucket (see
+    keds_tpu.engine.bucket_text): the compose programs the sweep re-runs
+    30x2 times per cached batch then execute at S=16/32 instead of 77 for
+    typical captions — exact by causality (the pool index is covered; the
+    retrieval-mode splice pools at eot+2, the fashion in-place splice at
+    eot, both < eot+3).  Equality is pinned by the engine bucketing test
+    and the recall-parity suite."""
+    from keds_tpu.engine import bucket_text
+
+    return bucket_text(np.asarray(text))
+
+
 def _encode_corpus(ctx: EvalContext, target_loader) -> Tuple[np.ndarray, List[str]]:
     # Dispatch every batch before fetching any result: per-batch host syncs
     # serialize a full dispatch round trip each (30ms on tunneled backends).
@@ -269,7 +282,7 @@ def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
         # token arrays on device for the whole 30-epoch sweep.
         ref_images, text_with_blank, _caption_only, ref_paths, answer_paths, _, _ = batch
         return ref_images, dict(
-            text=jnp.asarray(text_with_blank),
+            text=jnp.asarray(_bucket(text_with_blank)),
             ref_paths=list(ref_paths), answer_paths=list(answer_paths),
         )
 
@@ -309,7 +322,7 @@ def evaluate_cirr_test(ctx: EvalContext, query_loader, target_loader,
     def unpack(batch):
         ref_images, text_with_blank, caption_only, ref_paths, pairids, _ = batch
         return ref_images, dict(
-            text=jnp.asarray(text_with_blank),
+            text=jnp.asarray(_bucket(text_with_blank)),
             caption_only=jnp.asarray(caption_only),
             ref_paths=list(ref_paths), pairids=list(pairids),
         )
@@ -352,7 +365,7 @@ def evaluate_fashion(ctx: EvalContext, source_loader, target_loader,
     def unpack(batch):
         ref_images, _tar, target_caption, _cap, answer_paths, ref_names, caps = batch
         return ref_images, dict(
-            text=jnp.asarray(target_caption),
+            text=jnp.asarray(_bucket(target_caption)),
             answer_paths=list(answer_paths),
         )
 
@@ -392,7 +405,7 @@ def evaluate_coco(ctx: EvalContext, loader,
          _fn, _raw, _base) = batch
         return region_images, dict(
             target_images=jnp.asarray(images),
-            text=jnp.asarray(text_with_queryclass),
+            text=jnp.asarray(_bucket(text_with_queryclass)),
             text_full=jnp.asarray(text_full),
         )
 

@@ -253,3 +253,59 @@ def test_engine_mesh_chunked_encode_matches_unsharded():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(e8.compose(imgs, [text]), e1.compose(imgs, [text]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_engine_text_bucketing_matches_full_width():
+    """Host-side text-length bucketing (the serving analog of the train
+    step's causal prompt truncation): a short-caption batch runs the
+    compose program at S=16/32 instead of 77 with identical features —
+    the splice pools at eot+2 and a causal tower's prefix outputs are
+    independent of the dead zero tail.  Long captions must stay at 77."""
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=2,
+    )
+    clip_params = mclip.init_clip(jax.random.key(0), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, D, 48, D),
+        retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+    )
+    rng = np.random.default_rng(0)
+    db = KnowledgeDB.from_arrays(rng.standard_normal((128, D)),
+                                 rng.standard_normal((128, D)), dtype=jnp.float32)
+    eng = ComposedQueryEngine(clip_params, cfg, heads, db,
+                              compute_dtype=jnp.float32, db_topk=8)
+    eng_full = ComposedQueryEngine(clip_params, cfg, heads, db,
+                                   compute_dtype=jnp.float32, db_topk=8)
+    eng_full.TEXT_BUCKETS = (77,)  # disable bucketing on the reference engine
+
+    # short caption: eot at 7 -> needs 10 -> bucket 16
+    text = np.zeros((2, 77), np.int32)
+    text[:, :8] = [49406, 320, 1125, 539, 265, 267, 1929, 49407]
+    assert eng._bucket_text(text).shape[1] == 16
+    imgs = [rng.standard_normal((2, 32, 32, 3)).astype(np.float32)]
+    q_b = eng.compose(imgs, [text])
+    q_f = eng_full.compose(imgs, [text])
+    np.testing.assert_allclose(q_b, q_f, rtol=1e-5, atol=1e-6)
+
+    # mid-length caption: eot at 20 -> needs 23 -> bucket 32
+    text2 = np.zeros((2, 77), np.int32)
+    text2[:, 0] = 49406
+    text2[:, 1:20] = 320
+    text2[:, 4] = 265  # the * placeholder
+    text2[:, 20] = 49407
+    assert eng._bucket_text(text2).shape[1] == 32
+    np.testing.assert_allclose(eng.compose(imgs, [text2]),
+                               eng_full.compose(imgs, [text2]),
+                               rtol=1e-5, atol=1e-6)
+
+    # caption running to the end of the context: no bucket covers it -> 77
+    text3 = np.zeros((1, 77), np.int32)
+    text3[:, 0] = 49406
+    text3[:, 1:76] = 320
+    text3[:, 4] = 265
+    text3[:, 76] = 49407
+    assert eng._bucket_text(text3).shape[1] == 77
