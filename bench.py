@@ -335,12 +335,18 @@ def bench_train(args) -> None:
         if args.raw:
             raise SystemExit("--stream text trains from precomputed features "
                              "(no raw mode; see cli/main.py)")
-        # Synthetic "a photo of * * {word}" templates for every DB row —
+        # Synthetic "a photo of * * {other}" templates for every DB row —
         # the device-side table the text-stream loss gathers by neighbor
-        # index (real runs build it once from cc_other.json).
+        # index (real runs build it once from cc_other.json).  Realistic
+        # {other} length (~8 tokens, a CC3M caption minus its subject) ->
+        # eot at 14 -> the S=16 causal-prefix bucket (make_train_step trims
+        # the table; BENCH_NOTES round-4).
         oth = np.zeros((db_rows, 77), np.int32)
-        oth[:, :8] = [49406, 320, 1125, 539, 265, 265, 0, 49407]
-        oth[:, 6] = rng.integers(1000, 40000, db_rows)
+        oth[:, 0] = 49406
+        oth[:, 1:4] = [320, 1125, 539]
+        oth[:, 4:6] = 265                      # "* *"
+        oth[:, 6:14] = rng.integers(1000, 40000, (db_rows, 8))
+        oth[:, 14] = 49407
         db_other = jnp.asarray(oth)
     step = make_train_step(
         clip_params, cfg, retriever, opt, stream=args.stream,
@@ -360,10 +366,24 @@ def bench_train(args) -> None:
             other_tokens=jnp.zeros((batch, 77), jnp.int32),
         )
     else:
+        if args.stream == "text":
+            # Realistic OWN templates, bucketed like the train CLI feed
+            # (cli/main batches(): per-batch causal-prefix bucket).
+            from keds_tpu.tokenizer import bucket_text
+
+            own = np.zeros((batch, 77), np.int32)
+            own[:, 0] = 49406
+            own[:, 1:4] = [320, 1125, 539]
+            own[:, 4:7] = 265                  # "* * *" (dataset template)
+            own[:, 7:14] = rng.integers(1000, 40000, (batch, 7))
+            own[:, 14] = 49407
+            own_tokens = jnp.asarray(bucket_text(own, n_pseudo=1))
+        else:
+            own_tokens = jnp.zeros((batch, 77), jnp.int32)
         batch_data = TrainBatch(
             image_features=jnp.asarray(rng.standard_normal((batch, cfg.embed_dim)), jnp.float32),
             caption_features=jnp.asarray(rng.standard_normal((batch, cfg.embed_dim)), jnp.float32),
-            other_tokens=jnp.zeros((batch, 77), jnp.int32),
+            other_tokens=own_tokens,
         )
 
     def chain_step(state):

@@ -332,7 +332,22 @@ def main(argv=None) -> None:
                     other_tokens=put(jnp.zeros((b, 77), jnp.int32)),
                 )
         else:
+            from keds_tpu.tokenizer import bucket_text
+
+            # Single process only: ranks bucket their LOCAL batches
+            # independently, and a rank pair landing in different buckets
+            # would hand make_array_from_process_local_data mismatched
+            # local shapes.  (The neighbor-TABLE trim inside make_train_step
+            # is rank-identical and stays on in both cases.)
+            bucket_own = cfg.stream == "text" and jax.process_count() == 1
             for img, txt, _subject, other_tok in loader:
+                if bucket_own:
+                    # Causal-prefix bucketing of the OWN templates (the
+                    # in-place splice pools at each row's eot): per-batch,
+                    # host-known; at most one jitted step per bucket.  The
+                    # image stream never reads other_tokens — keep its jit
+                    # signature fixed.
+                    other_tok = bucket_text(np.asarray(other_tok), n_pseudo=1)
                 yield TrainBatch(
                     image_features=put(jnp.asarray(img, jnp.float32)),
                     caption_features=put(jnp.asarray(txt, jnp.float32)),

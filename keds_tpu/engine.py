@@ -28,34 +28,9 @@ from keds_tpu.retrieval.database import KnowledgeDB, Retriever
 from keds_tpu.tokenizer import star_token_id
 
 
-# Text-length buckets for the compose program.  The splice pools at
-# eot+(K-1) and a CAUSAL tower's outputs at those positions are
-# bit-identical whether or not the dead tail (zero padding past every row's
-# pool index) is computed — so the batch's host-known max caption length
-# picks the shortest bucket and the text tower runs S=16/32 instead of 77
-# for realistic captions (+5% headline, BENCH_NOTES round-4).  A small
-# fixed set bounds program compiles (one per bucket through a
-# remote-compile tunnel).
-TEXT_BUCKETS = (16, 32, 77)
-_N_PSEUDO = 3  # fused + text-condition + mapped (compose_pseudo_tokens)
-
-
-def bucket_text(tx, buckets=TEXT_BUCKETS) -> np.ndarray:
-    """Trim a (B, 77) token batch to the shortest bucket covering every
-    row's post-splice pool index (eot + K-1, K=3 pseudo tokens); rows whose
-    EOT runs past the largest covering bucket keep the full width."""
-    from keds_tpu.tokenizer import EOT_TOKEN
-
-    tx = np.asarray(tx)
-    if tx.shape[1] <= buckets[0]:
-        return tx
-    # pool index = eot + (K-1) after the splice shifts the tail right by
-    # K-1; the bucket must cover it (index < S)
-    need = int(np.argmax(tx == EOT_TOKEN, axis=1).max()) + _N_PSEUDO
-    for b in buckets:
-        if need <= b:
-            return tx[:, :b] if b < tx.shape[1] else tx
-    return tx
+# Text-length bucketing lives with the tokenizer (pure token logic);
+# re-exported here because serving is its flagship consumer.
+from keds_tpu.tokenizer import TEXT_BUCKETS, bucket_text  # noqa: F401
 
 
 class DeviceCorpus(NamedTuple):

@@ -235,7 +235,7 @@ def _bucket(text) -> np.ndarray:
     retrieval-mode splice pools at eot+2, the fashion in-place splice at
     eot, both < eot+3).  Equality is pinned by the engine bucketing test
     and the recall-parity suite."""
-    from keds_tpu.engine import bucket_text
+    from keds_tpu.tokenizer import bucket_text
 
     return bucket_text(np.asarray(text))
 

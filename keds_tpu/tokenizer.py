@@ -261,6 +261,34 @@ def tokenize(
     return out
 
 
+# Text-length buckets for composed-query programs.  The splice pools at
+# eot+(K-1) and a CAUSAL tower's outputs at those positions are
+# bit-identical whether or not the dead zero tail past every row's pool
+# index is computed — so the batch's host-known max caption length picks
+# the shortest bucket (S=16/32 instead of 77 for realistic captions; +3.1%
+# serving headline, BENCH_NOTES round-4).  A small fixed set bounds program
+# compiles (one per bucket through a remote-compile tunnel).
+TEXT_BUCKETS = (16, 32, 77)
+
+
+def bucket_text(tx, buckets=TEXT_BUCKETS, n_pseudo: int = 3) -> np.ndarray:
+    """Trim a (B, 77) token batch to the shortest bucket covering every
+    row's post-splice pool index; rows whose EOT runs past the largest
+    covering bucket keep the full width.  ``n_pseudo``: K of the downstream
+    splice — the retrieval-mode splice shifts the tail right by K-1 and
+    pools at eot+(K-1) (serving/eval, K=3), the in-place train-mode splice
+    pools at eot (pass 1)."""
+    tx = np.asarray(tx)
+    if tx.shape[1] <= buckets[0]:
+        return tx
+    # the bucket must cover the pool index (index < S)
+    need = int(np.argmax(tx == EOT_TOKEN, axis=1).max()) + n_pseudo
+    for b in buckets:
+        if need <= b:
+            return tx[:, :b] if b < tx.shape[1] else tx
+    return tx
+
+
 @functools.lru_cache()
 def star_token_id(vocab_path: str | None = None) -> int:
     """Token id of the ``*`` placeholder (the reference computes this as

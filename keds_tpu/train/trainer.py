@@ -96,8 +96,8 @@ def make_train_step(
         # next sublane multiple covering the pool (S=8 for the reference
         # prompt).  Bit-exact for the loss AND the head gradients (positions
         # past the pool receive zero cotangent); ~9.6x less text-tower work
-        # in the step (BENCH_NOTES round-4).  The text stream keeps S=77:
-        # its {other} templates have per-row variable EOT positions.
+        # in the step (BENCH_NOTES round-4).  The text stream's variable
+        # templates bucket instead (see the db_other_tokens trim below).
         eot_pos = int(np.argmax(np.asarray(prompt_tokens)[0] == cfg.eot_id))
         k_pseudo = 3  # fused + text-condition + mapped (compose_pseudo_tokens)
         s_t = -(-(eot_pos + k_pseudo + 1) // 8) * 8
@@ -130,6 +130,18 @@ def make_train_step(
             f"db_other_tokens has {db_other_tokens.shape[0]} rows but the "
             f"knowledge DB has {len(retriever.db.names)}; the template "
             "cache is stale — rebuild it (delete db_other_tokens.npy)")
+    else:
+        # Causal-prefix truncation of the NEIGHBOR template table (one-time,
+        # host-known): the in-place train-mode splice pools at each row's
+        # eot, so the table trims to the shortest bucket covering the
+        # longest template's eot+1 — exact by the same causality argument
+        # as the fixed-prompt truncation above.  The OWN templates trim the
+        # same way per batch at the feed (cli/main batches(); bench), since
+        # their shapes enter the jit signature.
+        from keds_tpu.tokenizer import bucket_text
+
+        db_other_tokens = jnp.asarray(
+            bucket_text(np.asarray(db_other_tokens), n_pseudo=1))
 
     def loss_fn(heads: FusionHeads, batch, rng: jax.Array,
                 clip_c, db_img, db_txt, db_other, db_quant):

@@ -232,6 +232,50 @@ def test_training_reduces_loss_substantially(tiny_setup):
     assert last < 0.7 * first, (first, last)
 
 
+def test_text_stream_template_bucketing_exact(tiny_setup):
+    """Causal-prefix bucketing of the text-stream OWN templates (trimmed at
+    the feed, cli/main batches()): the loss must match the full-77 feed
+    exactly — the in-place splice pools at each row's eot and later
+    positions never feed earlier ones.  (The neighbor-TABLE trim inside
+    make_train_step is identical in both runs here; its exactness against a
+    genuinely full-width oracle is pinned by the text-stream
+    trajectory-parity test, which matches the reference's own 77-wide
+    loop.)"""
+    from keds_tpu.tokenizer import bucket_text
+
+    cfg, clip_params, heads, db = tiny_setup
+    retr = Retriever(db)
+    ccfg = Config(lr=1e-3, beta1=0.9, beta2=0.98, eps=1e-6, wd=0.1, warmup=2)
+    opt, _ = make_optimizer(ccfg, total_steps=10)
+    state = opt.init(heads)
+    rng = np.random.default_rng(3)
+    oth = np.stack([
+        _tokens_row([SOT, 320, 1125, 539, SPLIT_ID, SPLIT_ID,
+                     int(rng.integers(1000, 40000)), EOT])
+        for _ in range(256)
+    ])
+    batch_full = _batch(8, np.random.default_rng(5))
+    assert oth.shape[1] == 77 and batch_full.other_tokens.shape[1] == 77
+
+    def run(db_other, own_tokens):
+        step = make_train_step(
+            clip_params, cfg, retr, opt, stream="text",
+            prompt_tokens=_prompt(), split_id=SPLIT_ID,
+            db_other_tokens=jnp.asarray(db_other), compute_dtype=jnp.float32,
+        )
+        b = losses.TrainBatch(batch_full.image_features,
+                              batch_full.caption_features,
+                              jnp.asarray(own_tokens))
+        _, _, loss = step(heads, state, b, jax.random.key(0))
+        return float(loss)
+
+    loss_full = run(oth, batch_full.other_tokens)
+    own_b = bucket_text(np.asarray(batch_full.other_tokens), n_pseudo=1)
+    assert own_b.shape[1] == 16  # the feed-level bucket engaged
+    loss_bucketed = run(oth, own_b)  # the step itself trims the table
+    np.testing.assert_allclose(loss_bucketed, loss_full, rtol=1e-6)
+
+
 def test_text_stream_requires_db_other_tokens():
     """Round-3 review: stream='text' without db_other_tokens must raise, not
     silently train the neighbor-caption term on a zero placeholder."""
