@@ -186,6 +186,10 @@ def main(argv=None) -> None:
         if late_fusion:
             # Late-fusion cross-attention over the prompt token sequence
             # (eval_utils.py:248-250): q = image embedding, kv = text tokens.
+            # NB do NOT bucket `text` here: the cross-attention attends over
+            # ALL 77 positions as keys/values — padding embeddings are real
+            # kv entries in the reference math, unlike the splice-pool paths
+            # where the causal-prefix truncation is exact.
             tok_seq, _ = mclip.get_text_tokens(clip_c, ccfg, text)
             q = jnp.broadcast_to(feat[:, None, :], (text.shape[0], 1, feat.shape[-1]))
             fused = mheads.crossformer_apply(

@@ -323,7 +323,7 @@ def evaluate_cirr_test(ctx: EvalContext, query_loader, target_loader,
         ref_images, text_with_blank, caption_only, ref_paths, pairids, _ = batch
         return ref_images, dict(
             text=jnp.asarray(_bucket(text_with_blank)),
-            caption_only=jnp.asarray(caption_only),
+            caption_only=jnp.asarray(_bucket(caption_only)),  # encode_text pools at eot
             ref_paths=list(ref_paths), pairids=list(pairids),
         )
 
@@ -470,7 +470,7 @@ def evaluate_imgnet_retrieval(ctx: EvalContext, prompts: Sequence[str],
         heads_ib = ctx.load_heads(ctx.image_branch, 2 * j - 1)
         heads_tb = ctx.load_heads(ctx.text_branch, 2 * j)
         for p_ind, p in enumerate(prompts):
-            text = jnp.asarray(tokenize(p))
+            text = jnp.asarray(_bucket(tokenize(p)))  # fixed 'a {domain} of *' -> S=16
             composed, composed_tb, labels_all = [], [], []
             for b in cache:  # dispatch all batches, fetch afterwards
                 text_b = jnp.broadcast_to(text, (b["feats"].shape[0], text.shape[1]))
