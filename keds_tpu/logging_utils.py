@@ -40,6 +40,12 @@ def setup_logging(
     rank: int = 0,
 ) -> None:
     root = logging.getLogger()
+    # Idempotent: a second CLI main() in the same process (tests, library
+    # embedding) must replace our handlers, not stack a duplicate pair —
+    # stacked handlers write every line twice and leak file descriptors.
+    for h in [h for h in root.handlers if getattr(h, "_keds_handler", False)]:
+        root.removeHandler(h)
+        h.close()
     root.setLevel(level)
     fmt = logging.Formatter(
         "%(asctime)s | %(levelname)s | %(message)s", datefmt="%Y-%m-%d,%H:%M:%S"
@@ -53,6 +59,7 @@ def setup_logging(
         h.setFormatter(fmt)
         h.setLevel(level)
         h.addFilter(prefix)
+        h._keds_handler = True  # type: ignore[attr-defined]
         root.addHandler(h)
 
 
