@@ -168,6 +168,10 @@ class ComposedQueryEngine:
     TEXT_BUCKETS = TEXT_BUCKETS
 
     def _bucket_text(self, tx) -> "np.ndarray":
+        # Multi-process-safe BECAUSE of the global-feed contract: every
+        # process iterates the same full batch stream, so all ranks compute
+        # the same bucket for each batch (contrast the train CLI's per-rank
+        # feed, where own-template bucketing is single-process only).
         return bucket_text(tx, self.TEXT_BUCKETS)
 
     # -- queries ------------------------------------------------------------
