@@ -159,3 +159,38 @@ def test_parity_unicode_fuzz(reference_src):
         s = "".join(rng.choice(rng.choice(pools)) for _ in range(n))
         s = unicodedata.normalize("NFC", s)
         assert bpe.encode(s) == ref.encode(s), repr(s)
+
+
+def test_bucket_text_edges():
+    """bucket_text edge cases: boundary needs, missing EOT, n_pseudo
+    variants, already-short inputs."""
+    import numpy as np
+
+    from keds_tpu.tokenizer import EOT_TOKEN, SOT_TOKEN, bucket_text
+
+    def row(eot_pos):
+        r = np.zeros(77, np.int32)
+        r[0] = SOT_TOKEN
+        r[1:eot_pos] = 320
+        r[eot_pos] = EOT_TOKEN
+        return r
+
+    # pool coverage boundaries (n_pseudo=3): eot=13 -> need 16 -> bucket 16;
+    # eot=14 -> need 17 -> bucket 32
+    assert bucket_text(np.stack([row(13)])).shape[1] == 16
+    assert bucket_text(np.stack([row(14)])).shape[1] == 32
+    # batch max decides: one long row promotes the whole batch
+    assert bucket_text(np.stack([row(5), row(30)])).shape[1] == 77
+    assert bucket_text(np.stack([row(5), row(28)])).shape[1] == 32
+    # n_pseudo=1 (in-place train splice pools at eot): eot=15 fits 16
+    assert bucket_text(np.stack([row(15)]), n_pseudo=1).shape[1] == 16
+    assert bucket_text(np.stack([row(15)])).shape[1] == 32
+    # eot beyond every bucket's coverage -> full width
+    assert bucket_text(np.stack([row(76)])).shape[1] == 77
+    # malformed row without EOT: argmax=0, trims to the smallest bucket —
+    # garbage in, garbage out, but never an exception
+    no_eot = np.zeros((1, 77), np.int32)
+    no_eot[0, 0] = SOT_TOKEN
+    assert bucket_text(no_eot).shape[1] == 16
+    # already-short input passes through
+    assert bucket_text(np.zeros((2, 12), np.int32)).shape[1] == 12
