@@ -171,7 +171,7 @@ def main() -> None:
 
     images = make_images(rng)
     # Realistic CIRR-length composed query: "a photo of * , {caption}" with
-    # a ~14-token relative caption (EOT at 21).  The engine buckets text by
+    # a ~14-token relative caption (EOT at 20).  The engine buckets text by
     # the batch's host-known max length (keds_tpu.engine.bucket_text;
     # equality-tested vs full width) — this lands in the S=32 bucket, the
     # one typical CIRR/serving captions hit.  Overridable for sweeps:

@@ -401,12 +401,16 @@ def evaluate_fashion(ctx: EvalContext, source_loader, target_loader,
 def evaluate_coco(ctx: EvalContext, loader,
                   epochs: Sequence[int] = range(1, 26)) -> Dict:
     def unpack(batch):
-        (images, region_images, text_full, _twb, text_with_queryclass,
+        # text_full is NOT uploaded: the reference encodes it but its
+        # metrics entry is commented out (eval_utils.py:543,566) — dead
+        # output; keeping the tokens would pin (N, 77) device arrays for
+        # the whole 25-epoch sweep (same class as the CIRR caption_only
+        # fix above).
+        (images, region_images, _text_full, _twb, text_with_queryclass,
          _fn, _raw, _base) = batch
         return region_images, dict(
             target_images=jnp.asarray(images),
             text=jnp.asarray(_bucket(text_with_queryclass)),
-            text_full=jnp.asarray(text_full),
         )
 
     cache = _precompute_queries(ctx, loader, unpack)
