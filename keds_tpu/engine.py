@@ -69,9 +69,9 @@ class ComposedQueryEngine:
         image encode runs in chunks of this size inside the encode program
         (encode is fastest at b32 on v5e while retrieval/text-tower
         utilization grows with batch — the macro-batch schedule;
-        together with the two-program split this serves 686 q/s/chip
-        bf16-exact at the flagship size, BENCH_NOTES.md round-3).  None
-        disables chunking."""
+        together with the two-program split and the causal-prefix text
+        buckets this serves ~706 q/s/chip bf16-exact at the flagship size,
+        BENCH_NOTES.md round-4).  None disables chunking."""
         self.cfg = cfg
         from keds_tpu.models.convert import cast_floating
         from keds_tpu.ops.quant import maybe_quantize_clip
