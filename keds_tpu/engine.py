@@ -67,10 +67,11 @@ class ComposedQueryEngine:
 
         ``encode_chunk``: when a query batch is a multiple of this, the
         image encode runs in chunks of this size inside the encode program
-        (encode is fastest at b32 on v5e while retrieval/text-tower
-        utilization grows with batch — the macro-batch schedule;
+        (encode peaks at b16 chunks on v5e — round-4 re-sweep — while
+        retrieval/text-tower utilization grows with batch; the macro-batch
+        schedule;
         together with the two-program split and the causal-prefix text
-        buckets this serves ~706 q/s/chip bf16-exact at the flagship size,
+        buckets this serves ~764 q/s/chip bf16-exact at the flagship size,
         BENCH_NOTES.md round-4).  None disables chunking."""
         self.cfg = cfg
         from keds_tpu.models.convert import cast_floating

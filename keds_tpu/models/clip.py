@@ -209,9 +209,13 @@ def encode_image(params: dict, cfg: ClipConfig, images: jax.Array) -> jax.Array:
 
 
 # Measured-optimal encode chunk for the macro-batch schedule on v5e
-# (BENCH_NOTES.md sweep) — shared by bench, engine, evaluators and the
-# feature-extraction tool so a future hardware re-sweep updates one place.
-DEFAULT_ENCODE_CHUNK = 32
+# (BENCH_NOTES.md sweeps) — shared by bench, engine, evaluators, the raw
+# train step and the feature-extraction tool so a hardware re-sweep updates
+# one place.  Round 4: 16 beats 32 by +8.4% on the serving headline (the
+# round-2 sweep that picked 32 predates the bf16-scores + padded-sequence
+# encode schedule and never went below 32; re-swept 8/16/32 with the
+# round-4 pipeline — table in BENCH_NOTES round-4).
+DEFAULT_ENCODE_CHUNK = 16
 
 
 def encode_image_chunked(params: dict, cfg: ClipConfig, images: jax.Array,
