@@ -91,6 +91,21 @@ def multi_head_attention(
     standard causal, None = arbitrary ``mask`` array) so the fused Pallas
     kernel can be used when the structure is known.
     """
+    ctx = _attention_ctx(x, qkv_w, qkv_b, n_heads, mask, causal)
+    return linear(ctx, out_w, out_b)
+
+
+def _attention_ctx(
+    x: jax.Array,
+    qkv_w: jax.Array,
+    qkv_b: jax.Array,
+    n_heads: int,
+    mask: Optional[jax.Array] = None,
+    causal: Optional[bool] = None,
+) -> jax.Array:
+    """Attention context before the output projection, (B, S, D) -> (B, S, D).
+    Shared by the full block and the pooled final block so both run
+    bit-identical attention math."""
     B, S, D = x.shape
     H = n_heads
     Dh = D // H
@@ -126,8 +141,7 @@ def multi_head_attention(
             scores = scores + mask.astype(scores.dtype)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-    ctx = ctx.reshape(B, S, D)
-    return linear(ctx, out_w, out_b)
+    return ctx.reshape(B, S, D)
 
 
 def residual_block(x: jax.Array, blk: dict, n_heads: int,
@@ -187,6 +201,100 @@ def transformer_seq_padded(
     key_mask = jnp.where(jnp.arange(Sp) < S, 0.0, -jnp.inf).astype(jnp.float32)
     out = transformer(x, blocks, n_heads, mask=key_mask, causal=None)
     return out[:, :S]
+
+
+def final_block_pooled(
+    x: jax.Array,
+    blk: dict,
+    n_heads: int,
+    pool_idx,
+    mask: Optional[jax.Array] = None,
+    causal: Optional[bool] = None,
+) -> jax.Array:
+    """One residual block whose out-proj + MLP run only at the pooled row:
+    (B, S, D) -> (B, D).
+
+    Every hot encode path consumes exactly ONE token of the final block's
+    output (the CLS row for the image tower, the EOT/pool row for text —
+    reference model.py:414, :587-589).  QKV and the attention einsums stay
+    full (they're ~25% of block FLOPs and shared with :func:`residual_block`
+    via ``_attention_ctx``, which keeps the math BIT-identical — a
+    single-query score einsum rounds differently at the last ulp); the
+    attention-out projection and the MLP (~75% of block FLOPs) run on the
+    single pooled row, whose value they cannot change: there is no
+    cross-token mixing after the attention read.  Net: ~3% of a ViT-L
+    encode, ~6% of a text-tower pass, exactly.
+
+    ``pool_idx`` is a scalar or (B,) row index (already clamped by the
+    caller); ``mask``/``causal`` are :func:`residual_block`'s attention-mask
+    arguments, unchanged.
+    """
+    B, S, D = x.shape
+    h = layer_norm(x, blk["ln1_g"], blk["ln1_b"])
+    ctx = _attention_ctx(h, blk["qkv_w"], blk["qkv_b"], n_heads, mask, causal)
+    idx = jnp.broadcast_to(jnp.asarray(pool_idx), (B,))
+    take = lambda a: jnp.take_along_axis(a, idx[:, None, None], axis=1)
+    x_row = take(x) + linear(take(ctx), blk["out_w"], blk["out_b"])
+    h2 = layer_norm(x_row, blk["ln2_g"], blk["ln2_b"])
+    h2 = quick_gelu(linear(h2, blk["fc_w"], blk["fc_b"]))
+    x_row = x_row + linear(h2, blk["proj_w"], blk["proj_b"])
+    return x_row[:, 0, :]
+
+
+def transformer_pooled(
+    x: jax.Array,
+    blocks: dict,
+    n_heads: int,
+    pool_idx,
+    mask: Optional[jax.Array] = None,
+    causal: Optional[bool] = None,
+) -> jax.Array:
+    """:func:`transformer` whose final block runs its out-proj/MLP only at
+    ``pool_idx``: (B, S, D) -> (B, D).  ``mask``/``causal`` drive every
+    block exactly as in :func:`transformer`.
+
+    The front scan indexes the FULL stacked arrays per iteration
+    (``dynamic_index_in_dim`` over ``arange(L-1)``) instead of scanning a
+    ``blocks[:-1]`` tree slice: XLA materializes that slice as a copy of
+    ~96% of the tower's weights INSIDE the program — measured +11 ms per
+    b128 ViT-L encode (x8, once per 16-row chunk), which more than erased
+    the pooled tail's FLOP saving.  The indexed form measures 147.3 vs the
+    sliced form's 161.3 and the monolithic scan's 150.0 ms/b128
+    (BENCH_NOTES round-4, pooled-tail section)."""
+    n_layers = jax.tree.leaves(blocks)[0].shape[0]
+
+    def body(carry, i):
+        blk = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+            blocks)
+        return residual_block(carry, blk, n_heads, mask, causal), None
+
+    x, _ = jax.lax.scan(body, x, jnp.arange(n_layers - 1))
+    last = jax.tree.map(lambda a: a[-1], blocks)
+    return final_block_pooled(x, last, n_heads, pool_idx, mask, causal)
+
+
+def transformer_seq_padded_pooled(
+    x: jax.Array,
+    blocks: dict,
+    n_heads: int,
+    pool_idx: int = 0,
+    multiple: int = 8,
+) -> jax.Array:
+    """:func:`transformer_seq_padded` fused with the pooled final block:
+    (B, S, D) -> (B, D) at ``pool_idx`` (CLS=0 for the image tower)."""
+    S = x.shape[1]
+    pad = (-S) % multiple
+    if pad == 0 or flash_enabled():
+        # Same dispatch rationale as transformer_seq_padded (incl. keeping
+        # the opt-in flash kernel's dispatch intact — _attention_ctx is the
+        # shared path, so the final block uses flash there too).
+        return transformer_pooled(x, blocks, n_heads, pool_idx, causal=False)
+    Sp = S + pad
+    x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    key_mask = jnp.where(jnp.arange(Sp) < S, 0.0, -jnp.inf).astype(jnp.float32)
+    return transformer_pooled(x, blocks, n_heads, pool_idx,
+                              mask=key_mask, causal=None)
 
 
 def transformer_collect(
