@@ -2,8 +2,8 @@
 
 Every hot encode path consumes exactly one token of the final transformer
 block's output (CLS for the image tower, the EOT/pool row for text), so
-``layers.final_block_pooled`` runs the last block's Q/out-proj/MLP at that
-single row.  These tests pin the pooled tail bit-for-bit against the full
+``layers.final_block_pooled`` runs the last block's out-proj/MLP at that
+single row (attention stays full — shared with the full path).  These tests pin the pooled tail bit-for-bit against the full
 path (``transformer_seq_padded`` + slice / ``_text_transformer`` +
 ``_pool_project``, both still live for the token-sequence APIs), across
 dtypes, the int8-quantized towers, clamped pool indices, and gradients.
