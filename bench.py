@@ -113,6 +113,11 @@ def main() -> None:
                         "composed program (encode is fastest at b32; "
                         "retrieval/text-tower MXU utilization grows with "
                         "batch — chunked encode decouples the two)")
+    p.add_argument("--neighbors", action="store_true",
+                   help="train bench: precomputed-neighbor mode — the step "
+                        "gathers DB rows by index instead of searching "
+                        "(tools/precompute_neighbors.py; exact, features "
+                        "mode only)")
     p.add_argument("--query-tokens", type=int, default=None,
                    help="composed-query caption length in tokens (default "
                         "14, a typical CIRR relative caption -> the S=32 "
@@ -380,10 +385,21 @@ def bench_train(args) -> None:
             own_tokens = jnp.asarray(bucket_text(own, n_pseudo=1))
         else:
             own_tokens = jnp.zeros((batch, 77), jnp.int32)
+        nb = {}
+        if args.neighbors:
+            # Precomputed-neighbor mode (tools/precompute_neighbors.py): the
+            # step gathers DB rows by index instead of searching.  Random
+            # valid indices give the identical gather/compute shape.
+            nb = dict(
+                img_idx=jnp.asarray(rng.integers(0, db_rows, (batch, 16)), jnp.int32),
+                txt_idx=jnp.asarray(rng.integers(0, db_rows, (batch, 16)), jnp.int32),
+                cap2_idx=jnp.asarray(rng.integers(0, db_rows, (batch, 2)), jnp.int32),
+            )
         batch_data = TrainBatch(
             image_features=jnp.asarray(rng.standard_normal((batch, cfg.embed_dim)), jnp.float32),
             caption_features=jnp.asarray(rng.standard_normal((batch, cfg.embed_dim)), jnp.float32),
             other_tokens=own_tokens,
+            **nb,
         )
 
     def chain_step(state):

@@ -81,6 +81,11 @@ def main(argv=None) -> None:
         raise SystemExit(
             "--load-feature trains on precomputed features (the default "
             "path here); it is incompatible with --dataset-type webdataset")
+    if cfg.neighbors and cfg.dataset_type in ("webdataset", "csv"):
+        raise SystemExit(
+            "--neighbors requires precomputed features (the raw-image modes "
+            "compute features on the fly, so neighbors cannot be "
+            "precomputed); use --dataset-type directory")
     # Resolve the dataset type BEFORE the expensive CLIP/DB loads.  ``auto``
     # infers csv/tsv from the train-data extension and refuses anything else
     # loudly (reference get_dataset_fn, src/data.py:969-975 — round-3
@@ -189,7 +194,46 @@ def main(argv=None) -> None:
             worker_processes=cfg.worker_processes,
         )
     else:
-        dataset = FeaturePairDataset(cfg.train_data)
+        neighbor_pack = None
+        if cfg.neighbors:
+            from keds_tpu.retrieval.database import db_fingerprint
+            from keds_tpu.tools.precompute_neighbors import (
+                dataset_fingerprint,
+                load_neighbors,
+            )
+
+            nb_path = (os.path.join(cfg.train_data, "neighbors.npz")
+                       if cfg.neighbors == "auto" else cfg.neighbors)
+            if not os.path.isfile(nb_path):
+                raise SystemExit(f"--neighbors: no pack at {nb_path}; build "
+                                 "it with tools/precompute_neighbors.py")
+            img_idx, txt_idx, cap2_idx, meta = load_neighbors(nb_path)
+            probe = FeaturePairDataset(cfg.train_data)
+            # precision participates twice: explicitly, and implicitly via
+            # db_rows_sha1 (the fingerprint hashes the LOADED arrays, whose
+            # dtype follows --precision) — a pack built at the other
+            # precision ranks near-ties differently and must refuse.
+            want = dict(db_fingerprint(retriever.db), k=meta.get("k"),
+                        precision="fp32" if cfg.precision == "fp32" else "bf16",
+                        **dataset_fingerprint(probe.names))
+            if meta != want:
+                # Stale packs silently train on wrong neighbors — the same
+                # failure class as the template cache (round-3 weak #3).
+                raise SystemExit(
+                    f"--neighbors: {nb_path} is stale for this DB/feature "
+                    f"set (fingerprint {meta} vs {want}); rebuild it with "
+                    "tools/precompute_neighbors.py")
+            if meta["k"] < cfg.db_topk:
+                raise SystemExit(
+                    f"--neighbors: pack holds top-{meta['k']} rows but "
+                    f"--db-topk is {cfg.db_topk}; rebuild with a larger k")
+            # top-k prefix property: the exact search's top-(db_topk) is the
+            # prefix of its sorted top-k rows
+            neighbor_pack = (img_idx[:, :cfg.db_topk],
+                             txt_idx[:, :cfg.db_topk], cap2_idx)
+            logging.info("precomputed neighbors: %s (k=%d); the train step "
+                         "gathers instead of searching", nb_path, meta["k"])
+        dataset = FeaturePairDataset(cfg.train_data, neighbors=neighbor_pack)
         loader = DataLoader(
             dataset, cfg.batch_size * local_mesh_size(mesh), shuffle=True, seed=cfg.seed,
             drop_last=True, num_workers=cfg.workers,
@@ -223,8 +267,9 @@ def main(argv=None) -> None:
         raise SystemExit("--stream text requires precomputed features "
                          "(subject/other templates); use --dataset-type directory")
     if cfg.stream == "text":
-        import hashlib
         import json as _json
+
+        from keds_tpu.retrieval.database import db_fingerprint
 
         cache = os.path.join(cfg.train_data, "db_other_tokens.npy")
         meta_path = cache + ".meta.json"
@@ -232,25 +277,11 @@ def main(argv=None) -> None:
         # the knowledge DB (different --size/--seed in build_database) changes
         # row identity/count, and a stale cache would train the text stream on
         # wrong neighbor templates silently (round-3 VERDICT weak #3).
-        # len(names), not db.size: shard_over pads rows, names hold the truth
+        # db_fingerprint keys on len(names) (shard_over pads rows; names hold
+        # the truth) plus names/row-content hashes.
         template_prefix = "a photo of * * "
-        names_hash = hashlib.sha1(
-            "\n".join(retriever.db.names).encode()).hexdigest()
-        # Also hash a strided subsample of the DB rows themselves: when the
-        # DB is loaded from bare arrays the names are synthesized ("0","1",
-        # ...), so names_sha1 degenerates to row-count-only and a same-size
-        # different-seed rebuild would pass the fingerprint.
-        n_rows = len(retriever.db.names)
-        sig = hashlib.sha1()
-        idx = np.unique(np.linspace(0, max(n_rows - 1, 0),
-                                    num=min(64, n_rows)).astype(int))
-        for arr in (retriever.db.image_db, retriever.db.text_db):
-            sig.update(np.ascontiguousarray(
-                np.asarray(arr[idx], np.float32)).tobytes())
-        want_meta = {"rows": n_rows,
-                     "names_sha1": names_hash,
-                     "db_rows_sha1": sig.hexdigest(),
-                     "template_prefix": template_prefix}
+        want_meta = dict(db_fingerprint(retriever.db),
+                         template_prefix=template_prefix)
         have_meta = None
         if os.path.isfile(meta_path):
             with open(meta_path) as f:
@@ -340,7 +371,8 @@ def main(argv=None) -> None:
             # local shapes.  (The neighbor-TABLE trim inside make_train_step
             # is rank-identical and stays on in both cases.)
             bucket_own = cfg.stream == "text" and jax.process_count() == 1
-            for img, txt, _subject, other_tok in loader:
+            for row in loader:
+                img, txt, _subject, other_tok = row[:4]
                 if bucket_own:
                     # Causal-prefix bucketing of the OWN templates (the
                     # in-place splice pools at each row's eot): per-batch,
@@ -348,10 +380,16 @@ def main(argv=None) -> None:
                     # image stream never reads other_tokens — keep its jit
                     # signature fixed.
                     other_tok = bucket_text(np.asarray(other_tok), n_pseudo=1)
+                nb = {}
+                if len(row) > 4:  # precomputed-neighbor index rows
+                    nb = dict(img_idx=put(jnp.asarray(row[4])),
+                              txt_idx=put(jnp.asarray(row[5])),
+                              cap2_idx=put(jnp.asarray(row[6])))
                 yield TrainBatch(
                     image_features=put(jnp.asarray(img, jnp.float32)),
                     caption_features=put(jnp.asarray(txt, jnp.float32)),
                     other_tokens=put(jnp.asarray(other_tok)),
+                    **nb,
                 )
 
     base_rng = jax.random.key(cfg.seed)

@@ -65,6 +65,7 @@ class Config:
     db_names_file: Optional[str] = None
     db_topk: int = 16
     db_shard: bool = False  # shard DB rows over the mesh instead of replicating
+    neighbors: Optional[str] = None  # precomputed-neighbor pack for training
     retrieval_backend: str = "auto"  # auto | xla | pallas | int8 | approx
     # TPU-native extensions (no reference counterpart)
     quant_towers: str = "none"  # none | int8: W8A8 tower GEMMs (inference)
@@ -182,6 +183,14 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
     add("--db-names-file", type=str, default=None)
     add("--db-topk", type=int, default=16)
     add("--db-shard", action="store_true", default=False)
+    add("--neighbors", type=str, default=None,
+        help="precomputed-neighbor pack (tools/precompute_neighbors.py) for "
+             "features-mode training, or 'auto' for "
+             "<train-data>/neighbors.npz: replaces the in-step top-k search "
+             "with a device gather — bit-identical trajectory, the exact "
+             "image-stream step drops its ~47%% retrieval share "
+             "(BENCH_NOTES round-4); fingerprint-checked against the DB "
+             "and feature set, refused loudly when stale")
     add("--retrieval-backend", type=str, default="auto",
         choices=["auto", "xla", "pallas", "int8", "approx"],
         help="approx: TPU hardware partial-reduce ANN with exact re-rank of "

@@ -285,12 +285,19 @@ class FeaturePairDataset:
     Each sample returns (image_feature, caption_feature, subject, other_tokens)
     where ``other_tokens`` is the tokenized template
     ``"a photo of * * * " + other.replace('*', ' ')`` (src/data.py:627).
+
+    ``neighbors`` optionally attaches a precomputed-neighbor pack
+    (``tools/precompute_neighbors.py``) as a (img_idx, txt_idx, cap2_idx)
+    array triple aligned with this dataset's sample order; samples then
+    return three extra i32 index rows.  Validation (fingerprints, k) is the
+    caller's job (cli/main) — the dataset only asserts alignment by length.
     """
 
     TEMPLATE_PREFIX = "a photo of * * * "
 
     def __init__(self, folder: str, subject_json: Optional[str] = None,
-                 other_json: Optional[str] = None):
+                 other_json: Optional[str] = None,
+                 neighbors: Optional[tuple] = None):
         self.folder = folder
         packed_img = os.path.join(folder, "image_features.npy")
         if os.path.isfile(packed_img):
@@ -307,6 +314,12 @@ class FeaturePairDataset:
             self.names = [os.path.basename(f).split(".")[0] for f in self.files]
         self.subject: Dict[str, str] = _load_json_maybe(subject_json, folder, "cc_subject.json")
         self.other: Dict[str, str] = _load_json_maybe(other_json, folder, "cc_other.json")
+        self.neighbors = neighbors
+        if neighbors is not None and any(
+                len(a) != len(self.names) for a in neighbors):
+            raise ValueError(
+                f"neighbor pack rows {[len(a) for a in neighbors]} do not "
+                f"match the dataset ({len(self.names)} samples)")
 
     def __len__(self):
         return len(self.names)
@@ -326,7 +339,11 @@ class FeaturePairDataset:
         subject = self.subject.get(name, "")
         other = self.other.get(name, "*")
         template = self.TEMPLATE_PREFIX + other.replace("*", " ")
-        return img, txt, subject, tokenize(template)[0]
+        base = (img, txt, subject, tokenize(template)[0])
+        if self.neighbors is not None:
+            return base + tuple(np.asarray(a[idx], np.int32)
+                                for a in self.neighbors)
+        return base
 
 
 class ImageFolderByClass:

@@ -153,6 +153,29 @@ class KnowledgeDB:
                            self.names, self.quant)
 
 
+def db_fingerprint(db: "KnowledgeDB") -> dict:
+    """Identity fingerprint of a knowledge DB for artifact staleness checks
+    (the text-stream template cache and precomputed-neighbor packs both key
+    on it): row count, sha1 of the names, and a sha1 over a 64-row strided
+    subsample of both modality arrays — names alone degenerate to
+    row-count-only when a DB is loaded from bare arrays (synthesized
+    "0","1",... names), letting a same-size different-seed rebuild pass."""
+    import hashlib
+
+    n_rows = len(db.names)
+    sig = hashlib.sha1()
+    idx = np.unique(np.linspace(0, max(n_rows - 1, 0),
+                                num=min(64, n_rows)).astype(int))
+    for arr in (db.image_db, db.text_db):
+        sig.update(np.ascontiguousarray(
+            np.asarray(arr[idx], np.float32)).tobytes())
+    return {
+        "rows": n_rows,
+        "names_sha1": hashlib.sha1("\n".join(db.names).encode()).hexdigest(),
+        "db_rows_sha1": sig.hexdigest(),
+    }
+
+
 def _first_existing(base: str, candidates: List[str]) -> Optional[str]:
     for c in candidates:
         p = os.path.join(base, c)

@@ -61,11 +61,21 @@ def cosine_embedding_loss(a: jax.Array, b: jax.Array) -> jax.Array:
 
 class TrainBatch(NamedTuple):
     """One precomputed-feature batch (reference CustomFolderCC rows,
-    src/data.py:601-634)."""
+    src/data.py:601-634).
+
+    The three optional index fields carry PRECOMPUTED knowledge-DB neighbor
+    rows (``tools/precompute_neighbors.py``): in features mode the queries
+    are frozen CLIP embeddings, so the per-step search is a pure function of
+    the sample and hoists offline — the step then gathers instead of
+    searching (bit-identical training; the image-neighbor shuffle stays
+    in-step).  ``None`` (the default) keeps the in-step search."""
 
     image_features: jax.Array      # (B, D) CLIP image embeddings
     caption_features: jax.Array    # (B, D) CLIP caption embeddings
     other_tokens: jax.Array        # (B, 77) tokenized "a photo of * * * {other}"
+    img_idx: Optional[jax.Array] = None   # (B, k) image-DB neighbor rows
+    txt_idx: Optional[jax.Array] = None   # (B, k) text-DB neighbor rows
+    cap2_idx: Optional[jax.Array] = None  # (B, 2) caption neighbors (text stream)
 
 
 class RawBatch(NamedTuple):
