@@ -194,7 +194,7 @@ def main(argv=None) -> None:
             worker_processes=cfg.worker_processes,
         )
     else:
-        neighbor_pack = None
+        dataset = FeaturePairDataset(cfg.train_data)
         if cfg.neighbors:
             from keds_tpu.retrieval.database import db_fingerprint
             from keds_tpu.tools.precompute_neighbors import (
@@ -208,14 +208,13 @@ def main(argv=None) -> None:
                 raise SystemExit(f"--neighbors: no pack at {nb_path}; build "
                                  "it with tools/precompute_neighbors.py")
             img_idx, txt_idx, cap2_idx, meta = load_neighbors(nb_path)
-            probe = FeaturePairDataset(cfg.train_data)
             # precision participates twice: explicitly, and implicitly via
             # db_rows_sha1 (the fingerprint hashes the LOADED arrays, whose
             # dtype follows --precision) — a pack built at the other
             # precision ranks near-ties differently and must refuse.
             want = dict(db_fingerprint(retriever.db), k=meta.get("k"),
                         precision="fp32" if cfg.precision == "fp32" else "bf16",
-                        **dataset_fingerprint(probe.names))
+                        **dataset_fingerprint(dataset.names))
             if meta != want:
                 # Stale packs silently train on wrong neighbors — the same
                 # failure class as the template cache (round-3 weak #3).
@@ -229,11 +228,10 @@ def main(argv=None) -> None:
                     f"--db-topk is {cfg.db_topk}; rebuild with a larger k")
             # top-k prefix property: the exact search's top-(db_topk) is the
             # prefix of its sorted top-k rows
-            neighbor_pack = (img_idx[:, :cfg.db_topk],
-                             txt_idx[:, :cfg.db_topk], cap2_idx)
+            dataset.attach_neighbors((img_idx[:, :cfg.db_topk],
+                                      txt_idx[:, :cfg.db_topk], cap2_idx))
             logging.info("precomputed neighbors: %s (k=%d); the train step "
                          "gathers instead of searching", nb_path, meta["k"])
-        dataset = FeaturePairDataset(cfg.train_data, neighbors=neighbor_pack)
         loader = DataLoader(
             dataset, cfg.batch_size * local_mesh_size(mesh), shuffle=True, seed=cfg.seed,
             drop_last=True, num_workers=cfg.workers,

@@ -314,12 +314,19 @@ class FeaturePairDataset:
             self.names = [os.path.basename(f).split(".")[0] for f in self.files]
         self.subject: Dict[str, str] = _load_json_maybe(subject_json, folder, "cc_subject.json")
         self.other: Dict[str, str] = _load_json_maybe(other_json, folder, "cc_other.json")
-        self.neighbors = neighbors
-        if neighbors is not None and any(
-                len(a) != len(self.names) for a in neighbors):
+        self.neighbors = None
+        if neighbors is not None:
+            self.attach_neighbors(neighbors)
+
+    def attach_neighbors(self, neighbors: tuple) -> None:
+        """Attach a validated neighbor pack after construction (lets the CLI
+        fingerprint-check against the already-built dataset instead of
+        loading the large subject/other JSONs twice)."""
+        if any(len(a) != len(self.names) for a in neighbors):
             raise ValueError(
                 f"neighbor pack rows {[len(a) for a in neighbors]} do not "
                 f"match the dataset ({len(self.names)} samples)")
+        self.neighbors = neighbors
 
     def __len__(self):
         return len(self.names)
