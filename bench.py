@@ -359,6 +359,10 @@ def bench_train(args) -> None:
         db_other_tokens=db_other, compute_dtype=jnp.bfloat16,
     )
     if args.raw:
+        if args.neighbors:
+            raise SystemExit("--neighbors is a features-mode gather (raw "
+                             "batches compute features on the fly) — same "
+                             "refusal as the train CLI")
         from keds_tpu.train.losses import RawBatch
 
         text = np.zeros((batch, 77), np.int32)
@@ -411,6 +415,8 @@ def bench_train(args) -> None:
     sps = batch / t
     tag = " (raw images)" if args.raw else (
         " (text stream)" if args.stream == "text" else "")
+    if args.neighbors:
+        tag += " (precomputed neighbors)"
     log(f"train step{tag}: {t*1e3:.2f} ms -> {sps:.0f} samples/s/chip")
     # Analytic A100 baselines (fixed across rounds): features mode ~2000/s
     # (faiss round-trip + heads fwd/bwd + text tower); raw mode adds the
@@ -424,7 +430,8 @@ def bench_train(args) -> None:
     base = 490.0 if args.raw else (810.0 if args.stream == "text" else 2000.0)
     metric = ("raw_" if args.raw else "") + (
         "text_stream_" if args.stream == "text" else ""
-    ) + "train_samples_per_sec_per_chip"
+    ) + ("neighbors_" if args.neighbors else "") + \
+        "train_samples_per_sec_per_chip"
     print(json.dumps({
         "metric": metric,
         "value": round(sps, 2),

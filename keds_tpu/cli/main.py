@@ -81,11 +81,6 @@ def main(argv=None) -> None:
         raise SystemExit(
             "--load-feature trains on precomputed features (the default "
             "path here); it is incompatible with --dataset-type webdataset")
-    if cfg.neighbors and cfg.dataset_type in ("webdataset", "csv"):
-        raise SystemExit(
-            "--neighbors requires precomputed features (the raw-image modes "
-            "compute features on the fly, so neighbors cannot be "
-            "precomputed); use --dataset-type directory")
     # Resolve the dataset type BEFORE the expensive CLIP/DB loads.  ``auto``
     # infers csv/tsv from the train-data extension and refuses anything else
     # loudly (reference get_dataset_fn, src/data.py:969-975 — round-3
@@ -111,6 +106,20 @@ def main(argv=None) -> None:
     use_wds = dataset_type == "webdataset"
     use_csv = dataset_type == "csv"
     use_raw = use_wds or use_csv
+    # Guards on the RESOLVED type ('auto' + a .csv train file is raw too):
+    # silently ignoring the flag would train a different trajectory than
+    # the user asked for with exit code 0.
+    if cfg.neighbors and use_raw:
+        raise SystemExit(
+            "--neighbors requires precomputed features (the raw-image modes "
+            "compute features on the fly, so neighbors cannot be "
+            "precomputed); use --dataset-type directory")
+    if cfg.neighbors and cfg.retrieval_backend not in ("auto", "xla"):
+        raise SystemExit(
+            f"--neighbors replaces the in-step search entirely, which would "
+            f"silently override --retrieval-backend {cfg.retrieval_backend}; "
+            "drop one of the two flags (precomputed neighbors are exact — "
+            "they strictly dominate approx/int8 for features-mode training)")
     cfg = setup_experiment(cfg)
     mesh = setup_runtime(cfg)
     dtype = compute_dtype(cfg)

@@ -316,6 +316,7 @@ class Retriever:
         shuffle_image: bool = True,
         db_arrays: Optional[Tuple[jax.Array, jax.Array]] = None,
         db_quant=None,
+        idx: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Top-k image and caption neighbor features for each query
         (reference get_retrieved_features).  ``rng`` drives the image-side
@@ -329,21 +330,30 @@ class Retriever:
         traced *arguments* — required because closed-over arrays are embedded
         as HLO constants (gigabytes of proto; the axon remote-compile path
         rejects them outright).  For the int8 backend, jitted callers must
-        likewise thread ``db_quant=Retriever.quant_arrays()``."""
+        likewise thread ``db_quant=Retriever.quant_arrays()``.
+
+        ``idx=(img_idx, txt_idx)`` skips the search and gathers those
+        PRECOMPUTED rows instead (tools/precompute_neighbors.py) — the
+        gather -> permutation -> cast tail is this one canonical op sequence
+        either way, so a precomputed-index step is bit-identical to the
+        searched step at the same PRNG key."""
         image_db, text_db = db_arrays if db_arrays is not None else (
             self.db.image_db, self.db.text_db
         )
-        quant_img, quant_txt = db_quant if db_quant is not None else (None, None)
-        q = feature / jnp.linalg.norm(feature, axis=1, keepdims=True)
-        q = q.astype(image_db.dtype)
-        _, img_idx = self.search(q, image_db, k, modality="image",
-                                 quant=quant_img)
+        if idx is not None:
+            img_idx, txt_idx = idx
+        else:
+            quant_img, quant_txt = db_quant if db_quant is not None else (None, None)
+            q = feature / jnp.linalg.norm(feature, axis=1, keepdims=True)
+            q = q.astype(image_db.dtype)
+            _, img_idx = self.search(q, image_db, k, modality="image",
+                                     quant=quant_img)
+            _, txt_idx = self.search(q, text_db, k, modality="text",
+                                     quant=quant_txt)
         topk_img = self._gather(image_db, img_idx)
         if shuffle_image and rng is not None:
             perm = jax.random.permutation(rng, k)
             topk_img = topk_img[:, perm, :]
-        _, txt_idx = self.search(q, text_db, k, modality="text",
-                                 quant=quant_txt)
         topk_txt = self._gather(text_db, txt_idx)
         return topk_img.astype(feature.dtype), topk_txt.astype(feature.dtype)
 
@@ -351,15 +361,18 @@ class Retriever:
         self, feature: jax.Array, k: int = 2,
         text_db: Optional[jax.Array] = None,
         text_quant=None,
+        idx: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Top-k caption features + their row indices (reference
         get_extra_cap_features, src/trainer.py:262-283; the caller maps
-        indices to basenames on host)."""
+        indices to basenames on host).  ``idx`` skips the search and gathers
+        those precomputed rows (same canonical gather+cast tail)."""
         if text_db is None:
             text_db = self.db.text_db
-        q = feature / jnp.linalg.norm(feature, axis=1, keepdims=True)
-        q = q.astype(text_db.dtype)
-        _, idx = self.search(q, text_db, k, modality="text", quant=text_quant)
+        if idx is None:
+            q = feature / jnp.linalg.norm(feature, axis=1, keepdims=True)
+            q = q.astype(text_db.dtype)
+            _, idx = self.search(q, text_db, k, modality="text", quant=text_quant)
         return self._gather(text_db, idx).astype(feature.dtype), idx
 
     def names_for(self, idx: np.ndarray) -> List[str]:

@@ -91,14 +91,18 @@ def main(argv=None) -> None:
 
     @jax.jit
     def search(img_f, txt_f, db_img, db_txt):
-        # Mirrors Retriever.retrieve_features / retrieve_caption_neighbors
-        # exactly: L2-normalize the query, cast to the DB dtype, exact
-        # (xla-backend) MIPS top-k.
+        # Mirrors the in-step query math OP FOR OP — bit-identical indices
+        # require it.  retrieve_features: normalize once, cast, search.
         q = img_f / jnp.linalg.norm(img_f, axis=1, keepdims=True)
         q = q.astype(db_img.dtype)
         _, ii = mips_topk(q, db_img, k)
         _, ti = mips_topk(q, db_txt, k)
-        qc = txt_f / jnp.linalg.norm(txt_f, axis=1, keepdims=True)
+        # Caption query: the trainer normalizes (trainer.py caps_n) and
+        # retrieve_caption_neighbors normalizes AGAIN — mathematically a
+        # no-op, but the second f32 rounding moves ~1/3 of the elements by
+        # one ulp, which can flip near-tie top-2 picks.  Reproduce both.
+        qc = txt_f / jnp.linalg.norm(txt_f, axis=-1, keepdims=True)
+        qc = qc / jnp.linalg.norm(qc, axis=1, keepdims=True)
         qc = qc.astype(db_txt.dtype)
         _, ci = mips_topk(qc, db_txt, 2)
         return ii, ti, ci

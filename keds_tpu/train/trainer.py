@@ -151,24 +151,18 @@ def make_train_step(
             batch = encode_raw_batch(clip_c, cfg, batch,
                                      encode_chunk=encode_chunk, mesh=mesh)
         feats = batch.image_features
+        # Precomputed-neighbor mode (tools/precompute_neighbors.py): the
+        # queries are frozen features, so the search hoisted offline and the
+        # step gathers.  Both modes run retrieve_features' ONE canonical
+        # gather -> seeded-permutation -> cast tail, so the trajectory is
+        # bit-identical at the same PRNG key (pinned in
+        # tests/test_precompute_neighbors.py).
         precomputed = getattr(batch, "img_idx", None) is not None
-        if precomputed:
-            # Precomputed-neighbor mode (tools/precompute_neighbors.py): the
-            # queries are frozen features, so the search hoisted offline and
-            # the step gathers — mirroring retrieve_features op for op
-            # (gather -> seeded image-side permutation -> dtype cast) so the
-            # trajectory is bit-identical to the in-step search at the same
-            # PRNG key (pinned in tests/test_precompute_neighbors.py).
-            topk_img = retriever._gather(db_img, batch.img_idx)
-            perm = jax.random.permutation(r_shuffle, db_topk)
-            topk_img = topk_img[:, perm, :].astype(feats.dtype)
-            topk_txt = retriever._gather(
-                db_txt, batch.txt_idx).astype(feats.dtype)
-        else:
-            topk_img, topk_txt = retriever.retrieve_features(
-                feats, k=db_topk, rng=r_shuffle, shuffle_image=True,
-                db_arrays=(db_img, db_txt), db_quant=db_quant,
-            )
+        topk_img, topk_txt = retriever.retrieve_features(
+            feats, k=db_topk, rng=r_shuffle, shuffle_image=True,
+            db_arrays=(db_img, db_txt), db_quant=db_quant,
+            idx=(batch.img_idx, batch.txt_idx) if precomputed else None,
+        )
         if stream == "image":
             loss = image_stream_loss(
                 heads, clip_c, cfg, batch, topk_img, topk_txt, prompt,
@@ -176,16 +170,12 @@ def make_train_step(
             )
         elif stream == "text":
             caps = batch.caption_features
-            if precomputed and batch.cap2_idx is not None:
-                top2_idx = batch.cap2_idx
-                top2_feats = retriever._gather(
-                    db_txt, top2_idx).astype(caps.dtype)
-            else:
-                caps_n = caps / jnp.linalg.norm(caps, axis=-1, keepdims=True)
-                top2_feats, top2_idx = retriever.retrieve_caption_neighbors(
-                    caps_n, k=2, text_db=db_txt,
-                    text_quant=db_quant[1] if db_quant is not None else None,
-                )
+            caps_n = caps / jnp.linalg.norm(caps, axis=-1, keepdims=True)
+            top2_feats, top2_idx = retriever.retrieve_caption_neighbors(
+                caps_n, k=2, text_db=db_txt,
+                text_quant=db_quant[1] if db_quant is not None else None,
+                idx=batch.cap2_idx if precomputed else None,
+            )
             top2_tokens = db_other[top2_idx]
             loss = text_stream_loss(
                 heads, clip_c, cfg, batch, topk_img, topk_txt,

@@ -111,7 +111,10 @@ def test_tool_indices_match_numpy_bruteforce(feature_dir):
     img_db = np.asarray(load_pt(str(db_dir / "cc_image_databases.pt")), np.float32)
     txt_db = np.asarray(load_pt(str(db_dir / "cc_text_databases.pt")), np.float32)
     q = fi / np.linalg.norm(fi, axis=1, keepdims=True)
+    # the caption query is normalized TWICE in-step (trainer caps_n +
+    # retrieve_caption_neighbors) — the tool reproduces both roundings
     qc = ft / np.linalg.norm(ft, axis=1, keepdims=True)
+    qc = qc / np.linalg.norm(qc, axis=1, keepdims=True)
     want_img = np.argsort(-(q @ img_db.T), axis=1, kind="stable")[:, :8]
     want_txt = np.argsort(-(q @ txt_db.T), axis=1, kind="stable")[:, :8]
     want_cap = np.argsort(-(qc @ txt_db.T), axis=1, kind="stable")[:, :2]
@@ -332,3 +335,34 @@ def test_gather_step_on_8dev_mesh_matches_search_step(feature_dir):
     assert float(loss_g) == float(loss_s)
     for a, b in zip(jax.tree.leaves(h_g), jax.tree.leaves(h_s)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_neighbors_refuses_non_exact_backend(feature_dir, tmp_path):
+    """--neighbors bypasses the in-step search, so combining it with
+    --retrieval-backend approx/int8 would silently override the requested
+    trajectory — refuse loudly instead."""
+    feats, db_dir, out, clip_ckpt = feature_dir
+    from keds_tpu.cli.main import main as train_main
+
+    with pytest.raises(SystemExit, match="silently override"):
+        train_main([
+            "--train-data", str(feats), "--dataset-type", "directory",
+            "--clip-weights", clip_ckpt, "--database-path", str(db_dir),
+            "--batch-size", "8", "--epochs", "1", "--stream", "image",
+            "--neighbors", "auto", "--retrieval-backend", "approx",
+            "--logs", str(tmp_path / "logs"), "--name", "conflict",
+            "--no-time-suffix",
+        ])
+
+
+def test_neighbors_refused_for_auto_resolved_csv(tmp_path):
+    """'auto' + a .csv train file resolves to the raw csv mode — the
+    --neighbors refusal must fire on the RESOLVED type, not the literal
+    flag value (a silent fall-through would ignore the pack)."""
+    from keds_tpu.cli.main import main as train_main
+
+    csv = tmp_path / "data.csv"
+    csv.write_text("filepath\ttitle\nx.png\ta caption\n")
+    with pytest.raises(SystemExit, match="precomputed features"):
+        train_main(["--train-data", str(csv), "--dataset-type", "auto",
+                    "--neighbors", "auto"])
