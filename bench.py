@@ -413,6 +413,43 @@ def bench_train(args) -> None:
 
     t = timeit_chain(chain_step, (heads, opt_state, jnp.zeros(())), iters)
     sps = batch / t
+    if args.neighbors:
+        # The gather step is FASTER than the ~30 ms tunnel dispatch RTT, so
+        # per-dispatch chaining reads the host dispatch-rate floor, not the
+        # device (bimodal 9-17 ms observed).  Same fix as --stages: scan 8
+        # steps inside ONE program (params chained through the scan) and
+        # divide — the device rate a locally-attached host would sustain.
+        raw, bound = step.raw_step, step.bound_args
+        # Scan over 8 DIFFERENT batches: with a constant batch the whole
+        # retrieval/gather is loop-invariant and XLA hoists it out of the
+        # scan, silently amortizing it across the 8 steps (measured: the
+        # SEARCH step reads 8.9 ms with a constant batch vs ~19 ms real).
+        batches8 = jax.tree.map(
+            lambda a: jnp.stack([jnp.roll(a, i, axis=0) for i in range(8)]),
+            batch_data)
+
+        @jax.jit
+        def multi8(h, o, bs, *bound_args):
+            def body(c, b):
+                h_, o_ = c
+                h2, o2, loss = raw(h_, o_, b, jax.random.key(0), *bound_args)
+                return (h2, o2), loss
+
+            (hf, of), losses = jax.lax.scan(body, (h, o), bs)
+            return hf, of, losses[-1]
+
+        def chain8(state):
+            h, o, i = state
+            hf, of, _ = multi8(h, o, batches8, *bound)
+            return (hf, of, i)
+
+        t8 = timeit_chain(chain8, (heads, opt_state, jnp.zeros(())),
+                          max(iters // 4, 3)) / 8.0
+        log(f"train step (precomputed neighbors, in-jit x8 scan): "
+            f"{t8*1e3:.2f} ms -> {batch/t8:.0f} samples/s/chip "
+            f"(per-dispatch chained: {t*1e3:.2f} ms — dispatch-floor-bound "
+            f"through this tunnel)")
+        t, sps = t8, batch / t8
     tag = " (raw images)" if args.raw else (
         " (text stream)" if args.stream == "text" else "")
     if args.neighbors:

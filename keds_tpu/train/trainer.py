@@ -213,6 +213,12 @@ def make_train_step(
         return _step(heads, opt_state, batch, rng, clip_c, db_img, db_txt,
                      db_other_tokens, db_quant)
 
+    # Measurement hook (bench.py): the raw jitted step + its bound arrays,
+    # so sub-dispatch-RTT steps can be timed by scanning K steps inside ONE
+    # program with the arrays still passed as traced arguments (closing
+    # them into an outer jit would inline GBs of HLO constants — rule 3).
+    train_step.raw_step = _step
+    train_step.bound_args = (clip_c, db_img, db_txt, db_other_tokens, db_quant)
     return train_step
 
 
