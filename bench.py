@@ -365,13 +365,20 @@ def bench_train(args) -> None:
                              "refusal as the train CLI")
         from keds_tpu.train.losses import RawBatch
 
+        from keds_tpu.tokenizer import bucket_text
+
+        # Realistic caption (EOT at 14, like the text-stream bench) bucketed
+        # at the feed like the train CLI does (S=16; encode_text pools at
+        # EOT -> exact by causality).
         text = np.zeros((batch, 77), np.int32)
-        text[:, :8] = [49406, 320, 1125, 539, 265, 267, 1929, 49407]
+        text[:, :6] = [49406, 320, 1125, 539, 265, 267]
+        text[:, 6:14] = rng.integers(1000, 40000, (batch, 8))
+        text[:, 14] = 49407
         batch_data = RawBatch(
             images=jnp.asarray(
                 rng.integers(0, 256, (batch, cfg.image_resolution,
                                       cfg.image_resolution, 3)), jnp.uint8),
-            caption_tokens=jnp.asarray(text),
+            caption_tokens=jnp.asarray(bucket_text(text, n_pseudo=1)),
             other_tokens=jnp.zeros((batch, 77), jnp.int32),
         )
     else:

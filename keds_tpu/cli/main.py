@@ -359,10 +359,20 @@ def main(argv=None) -> None:
 
     def batches():
         if use_raw:
+            from keds_tpu.tokenizer import bucket_text
             from keds_tpu.train.losses import RawBatch
 
+            # Causal-prefix bucketing of the CAPTION tokens (encode_text
+            # pools at each row's EOT, no splice -> n_pseudo=1): the raw
+            # step's frozen text encode was the one remaining full-width
+            # S=77 consumer.  Single process only, like the text stream's
+            # own-template bucketing: per-rank buckets would hand
+            # make_array_from_process_local_data mismatched local shapes.
+            bucket_caps = jax.process_count() == 1
             for images, caps in loader:
                 b = images.shape[0]
+                if bucket_caps:
+                    caps = bucket_text(np.asarray(caps), n_pseudo=1)
                 yield RawBatch(
                     images=put(jnp.asarray(images) if images.dtype == np.uint8
                                else jnp.asarray(images, dtype)),

@@ -149,3 +149,53 @@ def test_train_step_raw_batch_mesh_chunked():
                               mk_batch(lambda a: jax.device_put(a, shard)),
                               jax.random.key(0))
         np.testing.assert_allclose(float(loss_m), float(loss_ref), rtol=1e-5)
+
+
+def test_raw_step_bucketed_captions_bit_exact():
+    """The raw feed buckets caption tokens to the covering causal-prefix
+    length (encode_text pools at EOT; cli/main batches()): a bucketed batch
+    must produce the identical loss and head update as the full-width one."""
+    from keds_tpu.tokenizer import bucket_text
+
+    cfg = mclip.ClipConfig(
+        embed_dim=D, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=D, transformer_heads=1,
+        transformer_layers=2, context_length=77,
+    )
+    clip_params = mclip.init_clip(jax.random.key(0), cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, D, 48, D),
+        retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=3),
+    )
+    rng = np.random.default_rng(3)
+    db = KnowledgeDB.from_arrays(rng.standard_normal((64, D)),
+                                 rng.standard_normal((64, D)), dtype=jnp.float32)
+    ccfg = Config(lr=1e-3, beta1=0.9, beta2=0.98, eps=1e-6, wd=0.1, warmup=2)
+    opt, _ = make_optimizer(ccfg, 10)
+    prompt = np.zeros((1, 77), np.int32)
+    prompt[0, :5] = [49406, 320, 1125, 539, 49407]
+    step = make_train_step(
+        clip_params, cfg, Retriever(db), opt, stream="image",
+        prompt_tokens=prompt, split_id=265, compute_dtype=jnp.float32,
+    )
+    caps = np.zeros((4, 77), np.int32)
+    caps[:, 0] = 49406
+    caps[:, 1:9] = rng.integers(1, 90, (4, 8))
+    caps[:, 9] = cfg.eot_id
+    images = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    state = opt.init(heads)
+
+    def run(c):
+        return step(heads, state, RawBatch(
+            images=images, caption_tokens=jnp.asarray(c),
+            other_tokens=jnp.zeros((4, 77), jnp.int32)), jax.random.key(0))
+
+    h_full, _, loss_full = run(caps)
+    bucketed = bucket_text(caps, n_pseudo=1)
+    assert bucketed.shape[1] == 16  # eot at 9 -> the S=16 bucket
+    h_b, _, loss_b = run(bucketed)
+    assert float(loss_b) == float(loss_full)
+    for a, b in zip(jax.tree.leaves(h_b), jax.tree.leaves(h_full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
