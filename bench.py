@@ -358,6 +358,11 @@ def bench_train(args) -> None:
         prompt_tokens=prompt, split_id=265, db_topk=16,
         db_other_tokens=db_other, compute_dtype=jnp.bfloat16,
     )
+    if args.neighbors and args.retrieval != "xla":
+        raise SystemExit(
+            f"--neighbors bypasses the in-step search, which would silently "
+            f"override --retrieval {args.retrieval} — same refusal as the "
+            "train CLI")
     if args.raw:
         if args.neighbors:
             raise SystemExit("--neighbors is a features-mode gather (raw "

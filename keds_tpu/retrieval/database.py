@@ -342,6 +342,15 @@ class Retriever:
         )
         if idx is not None:
             img_idx, txt_idx = idx
+            # Width must equal k: narrower packs would make the k-wide image
+            # permutation clamp out-of-bounds gathers (silent duplicate
+            # neighbors), wider ones would hand the two modalities different
+            # neighbor counts — both break the bit-identity contract.
+            if img_idx.shape[1] != k or txt_idx.shape[1] != k:
+                raise ValueError(
+                    f"precomputed neighbor indices are {img_idx.shape[1]}/"
+                    f"{txt_idx.shape[1]} wide but k={k}; slice the pack to "
+                    "k columns (the train CLI does this from --db-topk)")
         else:
             quant_img, quant_txt = db_quant if db_quant is not None else (None, None)
             q = feature / jnp.linalg.norm(feature, axis=1, keepdims=True)
