@@ -589,3 +589,121 @@ def test_two_process_orbax_collective_save():
     for rank, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
         assert "orbax collective save+restore OK" in out, out
+
+
+CHILD_NEIGHBORS = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from keds_tpu.config import Config
+from keds_tpu.parallel.mesh import local_mesh_size, make_mesh, maybe_init_distributed, shard_batch
+
+cfg = Config(distributed=True, dist_url=os.environ["TEST_DIST_URL"])
+maybe_init_distributed(cfg)
+assert jax.process_count() == 2
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from keds_tpu.models import clip as mclip, heads as mheads
+from keds_tpu.models.composition import FusionHeads
+from keds_tpu.ops.topk import mips_topk
+from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+from keds_tpu.train.losses import TrainBatch
+from keds_tpu.train.trainer import make_train_step
+
+D = 32
+ccfg = mclip.ClipConfig(
+    embed_dim=D, image_resolution=32, vision_layers=1, vision_width=64,
+    vision_patch_size=16, transformer_width=D, transformer_heads=1,
+    transformer_layers=1,
+)
+params = mclip.init_clip(jax.random.key(0), ccfg)
+k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+heads = FusionHeads(
+    img2text=mheads.init_im2text(k1, D, 24, D),
+    retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=2),
+    text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=2),
+)
+rng_np = np.random.default_rng(0)
+db = KnowledgeDB.from_arrays(rng_np.standard_normal((64, D)),
+                             rng_np.standard_normal((64, D)), dtype=jnp.float32)
+mesh = make_mesh()
+db_s = db.shard_over(mesh)
+retr = Retriever(db_s, mesh=mesh, sharded=True)
+
+prompt = np.zeros((1, 77), np.int32)
+prompt[0, :5] = [49406, 320, 1125, 539, 49407]
+opt = optax.adamw(1e-3)
+K = 4
+step = make_train_step(
+    params, ccfg, retr, opt, stream="image", prompt_tokens=prompt,
+    split_id=265, grad_scale=1.0 / mesh.devices.size, db_topk=K,
+    compute_dtype=jnp.float32,
+)
+rep = NamedSharding(mesh, P())
+heads_r = jax.device_put(heads, rep)
+opt_state = jax.device_put(opt.init(heads), rep)
+
+rank = jax.process_index()
+g = np.random.default_rng(100 + rank)
+img_f = g.standard_normal((4, D)).astype(np.float32)
+cap_f = g.standard_normal((4, D)).astype(np.float32)
+# per-rank precomputed indices for the LOCAL rows (the pack rides the same
+# per-rank train feed as the features), exact search like the tool
+q = jnp.asarray(img_f)
+q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+_, ii = mips_topk(q.astype(db.image_db.dtype), db.image_db, K)
+_, ti = mips_topk(q.astype(db.text_db.dtype), db.text_db, K)
+
+common = dict(
+    image_features=shard_batch(mesh, jnp.asarray(img_f))[0],
+    caption_features=shard_batch(mesh, jnp.asarray(cap_f))[0],
+    other_tokens=shard_batch(mesh, jnp.zeros((4, 77), jnp.int32))[0],
+)
+rng = jax.random.key(7)
+_, _, loss_s = step(heads_r, opt_state, TrainBatch(**common), rng)
+_, _, loss_g = step(heads_r, opt_state, TrainBatch(
+    **common,
+    img_idx=shard_batch(mesh, ii)[0],
+    txt_idx=shard_batch(mesh, ti)[0],
+), rng)
+ls = float(np.asarray(loss_s.addressable_data(0)))
+lg = float(np.asarray(loss_g.addressable_data(0)))
+assert lg == ls, (lg, ls)
+print(f"2-process neighbors step OK (bit-equal, loss {lg})")
+"""
+
+
+def test_two_process_neighbors_step_matches_search():
+    """The precomputed-neighbor gather step under the REAL multi-process
+    feed (per-rank batches + index fields through shard_batch, row-sharded
+    DB) must equal the in-step search bit for bit on both ranks."""
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base["PYTHONPATH"] = str(REPO_ROOT) + os.pathsep + env_base.get("PYTHONPATH", "")
+    env_base["TEST_DIST_URL"] = f"tcp://127.0.0.1:{port}"
+    env_base["JAX_PLATFORMS"] = "cpu"
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env_base["WORLD_SIZE"] = "2"
+    procs = []
+    for rank in range(2):
+        env = dict(env_base)
+        env["RANK"] = str(rank)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", CHILD_NEIGHBORS], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=str(REPO_ROOT),
+        ))
+    outs = [p.communicate(timeout=300) for p in procs]
+    losses = set()
+    for rank, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        assert "2-process neighbors step OK" in out, out
+        losses.add(out.split("loss ")[-1].strip())
+    assert len(losses) == 1, losses
