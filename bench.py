@@ -118,6 +118,13 @@ def main() -> None:
                         "gathers DB rows by index instead of searching "
                         "(tools/precompute_neighbors.py; exact, features "
                         "mode only)")
+    p.add_argument("--scan", action="store_true",
+                   help="train bench: measure the step by an in-jit x8 "
+                        "varied-batch scan instead of per-dispatch chaining "
+                        "— required for sub-RTT steps (a ~10 ms step "
+                        "chain-measures the tunnel dispatch floor); implied "
+                        "by --neighbors.  The approx scoreboard number is "
+                        "`--train --retrieval approx --scan`")
     p.add_argument("--query-tokens", type=int, default=None,
                    help="composed-query caption length in tokens (default "
                         "14, a typical CIRR relative caption -> the S=32 "
@@ -318,6 +325,19 @@ def bench_train(args) -> None:
     from keds_tpu.train.trainer import make_optimizer, make_train_step
     import __graft_entry__ as ge
 
+    # Flag-conflict refusals BEFORE the expensive device DB build
+    if args.neighbors and args.retrieval != "xla":
+        raise SystemExit(
+            f"--neighbors bypasses the in-step search, which would silently "
+            f"override --retrieval {args.retrieval} — same refusal as the "
+            "train CLI")
+    if args.neighbors and args.raw:
+        raise SystemExit("--neighbors is a features-mode gather (raw "
+                         "batches compute features on the fly) — same "
+                         "refusal as the train CLI")
+    if args.scan and args.raw:
+        raise SystemExit("--scan is for sub-RTT feature-mode steps; the raw "
+                         "step (~200 ms) chain-measures fine")
     batch = args.batch or 128
     db_rows = args.db_rows or (50_000 if args.quick else 500_000)
     iters = args.iters or (5 if args.quick else 15)
@@ -358,16 +378,7 @@ def bench_train(args) -> None:
         prompt_tokens=prompt, split_id=265, db_topk=16,
         db_other_tokens=db_other, compute_dtype=jnp.bfloat16,
     )
-    if args.neighbors and args.retrieval != "xla":
-        raise SystemExit(
-            f"--neighbors bypasses the in-step search, which would silently "
-            f"override --retrieval {args.retrieval} — same refusal as the "
-            "train CLI")
     if args.raw:
-        if args.neighbors:
-            raise SystemExit("--neighbors is a features-mode gather (raw "
-                             "batches compute features on the fly) — same "
-                             "refusal as the train CLI")
         from keds_tpu.train.losses import RawBatch
 
         from keds_tpu.tokenizer import bucket_text
@@ -425,12 +436,12 @@ def bench_train(args) -> None:
 
     t = timeit_chain(chain_step, (heads, opt_state, jnp.zeros(())), iters)
     sps = batch / t
-    if args.neighbors:
-        # The gather step is FASTER than the ~30 ms tunnel dispatch RTT, so
-        # per-dispatch chaining reads the host dispatch-rate floor, not the
-        # device (bimodal 9-17 ms observed).  Same fix as --stages: scan 8
-        # steps inside ONE program (params chained through the scan) and
-        # divide — the device rate a locally-attached host would sustain.
+    if args.neighbors or args.scan:
+        # Sub-RTT steps (neighbors ~8 ms, approx ~10 ms) chain-measure the
+        # host dispatch-rate floor, not the device (bimodal 9-17 ms
+        # observed).  Same fix as --stages: scan 8 steps inside ONE program
+        # (params chained through the scan) and divide — the device rate a
+        # locally-attached host would sustain.
         raw, bound = step.raw_step, step.bound_args
         # Scan over 8 DIFFERENT batches: with a constant batch the whole
         # retrieval/gather is loop-invariant and XLA hoists it out of the
@@ -457,7 +468,7 @@ def bench_train(args) -> None:
 
         t8 = timeit_chain(chain8, (heads, opt_state, jnp.zeros(())),
                           max(iters // 4, 3)) / 8.0
-        log(f"train step (precomputed neighbors, in-jit x8 scan): "
+        log(f"train step (in-jit x8 scan): "
             f"{t8*1e3:.2f} ms -> {batch/t8:.0f} samples/s/chip "
             f"(per-dispatch chained: {t*1e3:.2f} ms — dispatch-floor-bound "
             f"through this tunnel)")
@@ -466,6 +477,8 @@ def bench_train(args) -> None:
         " (text stream)" if args.stream == "text" else "")
     if args.neighbors:
         tag += " (precomputed neighbors)"
+    if args.scan and not args.neighbors:
+        tag += " (in-jit scan)"
     log(f"train step{tag}: {t*1e3:.2f} ms -> {sps:.0f} samples/s/chip")
     # Analytic A100 baselines (fixed across rounds): features mode ~2000/s
     # (faiss round-trip + heads fwd/bwd + text tower); raw mode adds the

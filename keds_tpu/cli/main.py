@@ -223,6 +223,7 @@ def main(argv=None) -> None:
             # precision ranks near-ties differently and must refuse.
             want = dict(db_fingerprint(retriever.db), k=meta.get("k"),
                         precision="fp32" if cfg.precision == "fp32" else "bf16",
+                        backend=jax.default_backend(),
                         **dataset_fingerprint(dataset.names))
             if meta != want:
                 # Stale packs silently train on wrong neighbors — the same

@@ -286,7 +286,7 @@ class FeaturePairDataset:
     where ``other_tokens`` is the tokenized template
     ``"a photo of * * * " + other.replace('*', ' ')`` (src/data.py:627).
 
-    ``neighbors`` optionally attaches a precomputed-neighbor pack
+    :meth:`attach_neighbors` optionally attaches a precomputed-neighbor pack
     (``tools/precompute_neighbors.py``) as a (img_idx, txt_idx, cap2_idx)
     array triple aligned with this dataset's sample order; samples then
     return three extra i32 index rows.  Validation (fingerprints, k) is the
@@ -296,8 +296,7 @@ class FeaturePairDataset:
     TEMPLATE_PREFIX = "a photo of * * * "
 
     def __init__(self, folder: str, subject_json: Optional[str] = None,
-                 other_json: Optional[str] = None,
-                 neighbors: Optional[tuple] = None):
+                 other_json: Optional[str] = None):
         self.folder = folder
         packed_img = os.path.join(folder, "image_features.npy")
         if os.path.isfile(packed_img):
@@ -315,8 +314,6 @@ class FeaturePairDataset:
         self.subject: Dict[str, str] = _load_json_maybe(subject_json, folder, "cc_subject.json")
         self.other: Dict[str, str] = _load_json_maybe(other_json, folder, "cc_other.json")
         self.neighbors = None
-        if neighbors is not None:
-            self.attach_neighbors(neighbors)
 
     def attach_neighbors(self, neighbors: tuple) -> None:
         """Attach a validated neighbor pack after construction (lets the CLI

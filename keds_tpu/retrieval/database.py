@@ -162,13 +162,20 @@ def db_fingerprint(db: "KnowledgeDB") -> dict:
     "0","1",... names), letting a same-size different-seed rebuild pass."""
     import hashlib
 
+    from keds_tpu.parallel.mesh import fetch_global
+
     n_rows = len(db.names)
     sig = hashlib.sha1()
     idx = np.unique(np.linspace(0, max(n_rows - 1, 0),
                                 num=min(64, n_rows)).astype(int))
     for arr in (db.image_db, db.text_db):
+        # fetch_global: on a multi-process --db-shard run the DB rows span
+        # non-addressable devices and a bare np.asarray(arr[idx]) raises;
+        # the strided gather runs as a global SPMD computation (every
+        # process calls db_fingerprint) and allgathers to each host.
+        rows = fetch_global(arr[idx])
         sig.update(np.ascontiguousarray(
-            np.asarray(arr[idx], np.float32)).tobytes())
+            np.asarray(rows, np.float32)).tobytes())
     return {
         "rows": n_rows,
         "names_sha1": hashlib.sha1("\n".join(db.names).encode()).hexdigest(),

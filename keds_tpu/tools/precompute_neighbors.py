@@ -46,9 +46,9 @@ def dataset_fingerprint(names) -> dict:
 
 def load_neighbors(path: str):
     """Load a neighbor pack -> (img_idx, txt_idx, cap2_idx, meta dict)."""
-    z = np.load(path)
-    meta = json.loads(bytes(z[META_KEY]).decode())
-    return z["img_idx"], z["txt_idx"], z["cap2_idx"], meta
+    with np.load(path) as z:
+        meta = json.loads(bytes(z[META_KEY]).decode())
+        return z["img_idx"], z["txt_idx"], z["cap2_idx"], meta
 
 
 def main(argv=None) -> None:
@@ -115,10 +115,17 @@ def main(argv=None) -> None:
         feats = lambda lo, hi: (np.asarray(ds.image_feats[lo:hi], np.float32),
                                 np.asarray(ds.text_feats[lo:hi], np.float32))
     else:
+        from keds_tpu.io import load_pt
+
         def feats(lo, hi):
-            rows = [ds[i][:2] for i in range(lo, hi)]
-            return (np.stack([r[0] for r in rows]).astype(np.float32),
-                    np.stack([r[1] for r in rows]).astype(np.float32))
+            # read the raw .pt pairs directly — ds[i] would also tokenize
+            # the caption template per sample (hours of wasted host work at
+            # CC3M scale for data this tool never uses)
+            img = [np.asarray(load_pt(os.path.join(ds.image_dir, ds.files[i])),
+                              np.float32).reshape(-1) for i in range(lo, hi)]
+            txt = [np.asarray(load_pt(os.path.join(ds.text_dir, ds.files[i])),
+                              np.float32).reshape(-1) for i in range(lo, hi)]
+            return np.stack(img), np.stack(txt)
 
     for lo in range(0, n, args.batch):
         hi = min(lo + args.batch, n)
@@ -131,7 +138,12 @@ def main(argv=None) -> None:
         if (lo // args.batch) % 50 == 0:
             logging.info("neighbors: %d / %d samples", hi, n)
 
+    # backend: bf16 dot products round differently across platforms (MXU vs
+    # CPU), so a pack built elsewhere could pass the DB/dataset fingerprint
+    # while its near-tie rankings differ from the in-step search — record
+    # where the search ran and refuse cross-platform packs at train time.
     meta = dict(db_fingerprint(db), k=k, precision=args.precision,
+                backend=jax.default_backend(),
                 **dataset_fingerprint(ds.names))
     out = args.out or os.path.join(args.train_data, "neighbors.npz")
     tmp = out + ".tmp.npz"

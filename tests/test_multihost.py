@@ -676,6 +676,14 @@ _, _, loss_g = step(heads_r, opt_state, TrainBatch(
 ls = float(np.asarray(loss_s.addressable_data(0)))
 lg = float(np.asarray(loss_g.addressable_data(0)))
 assert lg == ls, (lg, ls)
+
+# db_fingerprint must work on the NON-ADDRESSABLE sharded DB (the
+# --neighbors staleness gate runs it at CLI startup on multi-host
+# --db-shard runs) and must equal the unsharded fingerprint (packs are
+# built against the unsharded tool DB; shard padding must not leak in).
+from keds_tpu.retrieval.database import db_fingerprint
+assert db_fingerprint(db_s) == db_fingerprint(db)
+
 print(f"2-process neighbors step OK (bit-equal, loss {lg})")
 """
 

@@ -126,7 +126,7 @@ def test_tool_indices_match_numpy_bruteforce(feature_dir):
                           str(db_dir / "cc_text_databases.pt"),
                           str(db_dir / "database_names.txt"),
                           dtype=jnp.float32)
-    assert meta == dict(db_fingerprint(db), k=8, precision="fp32",
+    assert meta == dict(db_fingerprint(db), k=8, precision="fp32", backend="cpu",
                         **dataset_fingerprint([f"s{i}" for i in range(N_SAMPLES)]))
 
 
