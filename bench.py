@@ -152,11 +152,13 @@ def main() -> None:
     import __graft_entry__ as ge
 
     quick = args.quick
-    # Headline schedule (round 2): macro-batch 128 with chunked b32 encode —
-    # encode runs at its optimal batch while retrieval/text-tower amortize
-    # their lane-bound costs over 4x the queries (509 vs 496 q/s measured;
-    # sweep in BENCH_NOTES).
-    batch = args.batch or 128
+    # Headline schedule: macro-batch 256 with chunked encode — encode runs at
+    # its optimal chunk while retrieval/text-tower amortize their lane-bound
+    # costs over 16x the queries.  Re-swept on the round-4 final pipeline
+    # (pooled tail + text buckets + chunk-16): 64/128/256/512 -> 768/785/794/
+    # 796 q/s — 256 is the knee (512 ties at double the latency); the round-3
+    # "macro 256 loses" note is superseded (sweeps in BENCH_NOTES).
+    batch = args.batch or 256
     _chunk = mclip.DEFAULT_ENCODE_CHUNK
     if args.encode_chunk is None and batch > _chunk and batch % _chunk == 0:
         args.encode_chunk = _chunk  # macro schedule; --encode-chunk 0 disables

@@ -71,7 +71,7 @@ class ComposedQueryEngine:
         retrieval/text-tower utilization grows with batch; the macro-batch
         schedule;
         together with the two-program split and the causal-prefix text
-        buckets this serves ~784 q/s/chip bf16-exact at the flagship size,
+        buckets this serves ~794 q/s/chip bf16-exact at the flagship size,
         BENCH_NOTES.md round-4).  None disables chunking."""
         self.cfg = cfg
         from keds_tpu.models.convert import cast_floating
