@@ -4,10 +4,10 @@ Headline: **composed queries / sec / chip** on the flagship pipeline
 (BASELINE.json config 3): CLIP ViT-L/14 image encode -> top-16 MIPS retrieval
 over the 0.5M x 768 bi-modality knowledge DB -> dual-stream fusion -> frozen
 text-tower compose.  This is the reference's core inference primitive
-(SURVEY.md §3.5), jitted in bf16 under the round-2 serving schedule: a
-128-query macro batch runs as TWO programs — chunked-b32 encode, then
+(SURVEY.md §3.5), jitted in bf16 under the macro serving schedule: a
+256-query macro batch runs as TWO programs — chunk-16 encode, then
 retrieval+fusion+compose — with features staying on device (the fused
-single program measures ~15% slower; BENCH_NOTES.md).
+single program measures ~15% slower; batch/chunk sweeps in BENCH_NOTES.md).
 
 ``vs_baseline`` divides by an analytic estimate of the reference
 PyTorch+Faiss pipeline on one A100 — the repo publishes no numbers
@@ -110,9 +110,9 @@ def main() -> None:
                    default="xla", help="retrieval backend for the headline")
     p.add_argument("--encode-chunk", type=int, default=None,
                    help="encode the batch in chunks of this size inside the "
-                        "composed program (encode is fastest at b32; "
-                        "retrieval/text-tower MXU utilization grows with "
-                        "batch — chunked encode decouples the two)")
+                        "composed program (encode is fastest at the chunk-16 "
+                        "schedule; retrieval/text-tower MXU utilization grows "
+                        "with batch — chunked encode decouples the two)")
     p.add_argument("--neighbors", action="store_true",
                    help="train bench: precomputed-neighbor mode — the step "
                         "gathers DB rows by index instead of searching "

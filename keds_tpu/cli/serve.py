@@ -14,6 +14,10 @@ mesh sharding) as a production batch server:
 ``queries.jsonl``: one ``{"image": <path>, "text": "<prompt with *>"}`` per
 line.  Output: one ``{"query", "text", "results": [{"name", "score"}, ...]}``
 per line, plus a throughput summary on stderr.
+
+``--batch-size`` keeps the reference flag's default (64); throughput peaks
+at the bench headline's macro batch, ``--batch-size 256`` (the 64/128/256/
+512 sweep is in BENCH_NOTES round-4 "cont. 2").
 """
 
 from __future__ import annotations
