@@ -455,12 +455,21 @@ def bench_train(args) -> None:
 
         @jax.jit
         def multi8(h, o, bs, *bound_args):
-            def body(c, b):
+            def body(c, xs):
+                b, i = xs
                 h_, o_ = c
-                h2, o2, loss = raw(h_, o_, b, jax.random.key(0), *bound_args)
+                # Per-step key fold (the train CLI's fold_in(base, step)):
+                # a CONSTANT key would make the dropout-mask bit generation
+                # loop-invariant — XLA hoists it out of the scan, amortizing
+                # per-step RNG work across the 8 steps (the same trap as the
+                # constant batch above, just smaller).
+                h2, o2, loss = raw(h_, o_, b,
+                                   jax.random.fold_in(jax.random.key(0), i),
+                                   *bound_args)
                 return (h2, o2), loss
 
-            (hf, of), losses = jax.lax.scan(body, (h, o), bs)
+            (hf, of), losses = jax.lax.scan(body, (h, o),
+                                            (bs, jnp.arange(8)))
             return hf, of, losses[-1]
 
         def chain8(state):
