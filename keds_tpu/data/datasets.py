@@ -35,6 +35,20 @@ def _open_image(path: str):
     return img
 
 
+def _texts_token_needs(texts: Sequence[str], n_pseudo: int,
+                       chunk: int = 65536) -> np.ndarray:
+    """Per-text causal-prefix bucket need (EOT index + n_pseudo), tokenized
+    in bounded chunks so CC3M-scale lists never materialize an (N, 77)
+    token matrix (~860 MB at 2.8M rows — only the i32 needs survive)."""
+    from keds_tpu.tokenizer import token_needs
+
+    out = np.empty(len(texts), np.int32)
+    for i in range(0, len(texts), chunk):
+        out[i:i + chunk] = token_needs(tokenize(texts[i:i + chunk]),
+                                       n_pseudo=n_pseudo)
+    return out
+
+
 class CIRR:
     """CIRR val/test (reference src/data.py:233-333).
 
@@ -269,6 +283,17 @@ class CsvDataset:
             return img, str(self.images[idx])
         return img, tokenize([str(self.captions[idx])])[0]
 
+    def caption_token_needs(self, n_pseudo: int = 1) -> np.ndarray:
+        """Per-sample bucket need of the caption tokens — a pure function
+        of the csv, so every rank computes the identical array and the
+        per-step GLOBAL bucket (max over the shared permutation slice)
+        without communication.  One tokenizer pass over the file (~30 s at
+        CC3M scale); multi-process runs pay it once at startup in exchange
+        for S=16/32 caption programs instead of 77."""
+        logging.info("tokenizing %d captions for rank-consistent bucketing",
+                     len(self.captions))
+        return _texts_token_needs([str(c) for c in self.captions], n_pseudo)
+
 
 class FeaturePairDataset:
     """Precomputed CC3M (image, caption) CLIP-feature pairs — the training
@@ -314,6 +339,51 @@ class FeaturePairDataset:
         self.subject: Dict[str, str] = _load_json_maybe(subject_json, folder, "cc_subject.json")
         self.other: Dict[str, str] = _load_json_maybe(other_json, folder, "cc_other.json")
         self.neighbors = None
+
+    def own_token_needs(self, n_pseudo: int = 1) -> np.ndarray:
+        """Per-sample bucket need of the OWN template tokens (the exact
+        ``TEMPLATE_PREFIX + other`` strings ``__getitem__`` tokenizes) — a
+        pure function of (names, other map), so every rank derives the same
+        per-step GLOBAL causal-prefix bucket from the shared permutation
+        with no cross-host communication (the rank-consistent multi-process
+        bucketing contract; see DataLoader.global_batch_indices).
+
+        Cached as ``own_token_needs.npy`` next to the features, keyed on a
+        sha1 of the template strings themselves (the true input: renames,
+        edited captions and prefix changes all move it) — tokenizing 2.8M
+        templates costs ~30 s, hashing them is pennies."""
+        import hashlib
+
+        h = hashlib.sha1(f"n_pseudo={n_pseudo}".encode())
+        texts = []
+        for name in self.names:
+            t = self.TEMPLATE_PREFIX + self.other.get(name, "*").replace("*", " ")
+            texts.append(t)
+            h.update(t.encode())
+        meta = {"templates_sha1": h.hexdigest(), "rows": len(texts)}
+        cache = os.path.join(self.folder, "own_token_needs.npy")
+        meta_path = cache + ".meta.json"
+        if os.path.isfile(cache) and os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                if json.load(f) == meta:
+                    return np.load(cache)
+        logging.info("tokenizing %d own templates for rank-consistent "
+                     "bucketing", len(texts))
+        needs = _texts_token_needs(texts, n_pseudo)
+        try:
+            # temp-then-rename: co-located ranks may write concurrently; the
+            # content is identical, but a partially written npy must never be
+            # loadable (meta lands only after its npy is complete)
+            tmp = f"{cache}.{os.getpid()}.tmp.npy"  # .npy: np.save appends otherwise
+            np.save(tmp, needs)
+            os.replace(tmp, cache)
+            tmp_m = f"{meta_path}.tmp.{os.getpid()}"
+            with open(tmp_m, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp_m, meta_path)
+        except OSError:  # read-only feature dirs are fine — just recompute
+            logging.info("could not cache %s; will recompute next run", cache)
+        return needs
 
     def attach_neighbors(self, neighbors: tuple) -> None:
         """Attach a validated neighbor pack after construction (lets the CLI

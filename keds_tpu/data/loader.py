@@ -87,7 +87,10 @@ class DataLoader:
         semantics, reference src/data.py:711-715)."""
         self.epoch = epoch
 
-    def _indices(self) -> np.ndarray:
+    def _full_indices(self) -> np.ndarray:
+        """The epoch's SHARED sample order (identical on every rank: the
+        shuffle rng keys on seed+epoch only), padded to a world_size
+        multiple.  Rank r's feed is the ``[r::world_size]`` stride of it."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
@@ -99,8 +102,47 @@ class DataLoader:
             pad = per * self.world_size - n
             if pad:
                 idx = np.concatenate([idx, idx[:pad]])
-            idx = idx[self.rank::self.world_size]
         return idx
+
+    def _indices(self) -> np.ndarray:
+        """Rank-local sample order: per-step contiguous BLOCKS of the shared
+        permutation (step t, rank r takes ``full[t*B*W + r*B : ... + B]``),
+        not torch DistributedSampler's ``full[r::W]`` stride (documented
+        deviation, PARITY.md).  Both hand every step the same global sample
+        set ``full[t*B*W:(t+1)*B*W]``; blocks additionally make the
+        ASSEMBLED global array (rank-major device order in
+        make_array_from_process_local_data) identical to a single-process
+        feed of that slice — so trajectories are process-topology-invariant
+        (per-row PRNG use like dropout masks and neighbor shuffles keys on
+        global row position) and 2-process runs pin against 1-process runs
+        bit-comparably (tests/test_multihost.py)."""
+        full = self._full_indices()
+        if self.world_size == 1:
+            return full
+        gb = self.batch_size * self.world_size
+        out = []
+        for start in range(0, len(full), gb):
+            g = full[start:start + gb]
+            # len(g) is a world_size multiple: _full_indices pads to one,
+            # and gb is one — so the ragged tail still splits evenly
+            m = len(g) // self.world_size
+            out.append(g[self.rank * m:(self.rank + 1) * m])
+        return np.concatenate(out) if out else full
+
+    def global_batch_indices(self) -> Iterator[np.ndarray]:
+        """Per-step GLOBAL batch index arrays, rank-independent: the step-t
+        global batch is the contiguous slice ``full[t*B*W:(t+1)*B*W]`` of
+        the shared permutation (see ``_indices``).  Every rank can therefore
+        compute per-step GLOBAL batch properties (e.g. the causal-prefix
+        text bucket, which must be identical across ranks because it sets
+        the local shard shape handed to make_array_from_process_local_data)
+        from dataset metadata alone, with no cross-host communication.  Zip
+        with ``__iter__`` after ``set_epoch`` — both derive from the same
+        epoch-seeded order."""
+        full = self._full_indices()
+        gb = self.batch_size * self.world_size
+        for t in range(self.num_batches):
+            yield full[t * gb:(t + 1) * gb]
 
     @property
     def num_batches(self) -> int:

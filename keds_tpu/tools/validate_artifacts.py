@@ -21,7 +21,17 @@ The published streams are SINGLE checkpoints (not epoch sweeps), so both
 branches are passed as fixed files — ``EvalContext.load_heads`` pins every
 sweep epoch to them; CIRR runs one pass (mixture is the fixed 0.5/0.5,
 eval_utils.py:709), ImageNet sweeps only the mixture weight 0.1j
-(eval_utils.py:333-341).
+(eval_utils.py:333-341), Fashion-IQ and COCO sweep the 0.05j mixture
+(eval_utils.py:946-947,536-537; default j=10 — the 0.5/0.5 midpoint —
+override with ``--sweep-epochs``).  ``cirr_test`` writes the four
+submission JSONs for the CIRR test server (eval_utils.py:743-860) instead
+of a recall table, so ``--expected`` does not apply there.
+
+``--quant-towers int8`` and ``--retrieval {xla,approx,int8,pallas}`` drive
+the quantized serving modes through the same gate, so the int8 accuracy
+question resolves with one extra run per mode the day real artifacts are
+reachable (compare the two reports, or put the bf16-measured numbers in
+``--expected`` for the int8 run).
 
 ``--expected expected.json`` compares the measured table against target
 numbers (e.g. the paper's) — the reference repo publishes none in-repo
@@ -91,7 +101,9 @@ def _print_table(title: str, table: dict, expected: dict,
         for name, val in metrics.items():
             exp = expected.get(row, {}).get(name) if expected else None
             if exp is None:
-                cells.append(f"{name}: {val:.2f}")
+                cells.append(f"{name}: {val:.2f}"
+                             if isinstance(val, (int, float))
+                             else f"{name}: {val}")
             else:
                 matched.add((row, name))
                 delta = val - float(exp)
@@ -126,7 +138,16 @@ def main(argv=None) -> None:
                    help="text DB file (path or hf:<filename>); overrides --db")
     p.add_argument("--data-root", required=True,
                    help="benchmark data root (CIRR tree / imgnet lists)")
-    p.add_argument("--eval-mode", default="cirr", choices=["cirr", "imgnet"])
+    p.add_argument("--eval-mode", default="cirr",
+                   choices=["cirr", "imgnet", "fashion", "coco", "cirr_test"])
+    p.add_argument("--source-data", default="dress,shirt,toptee",
+                   help="fashion mode: comma-separated cloth splits to run")
+    p.add_argument("--sweep-epochs", default="",
+                   help="fashion/coco mixture sweep j's (weight 0.05*j; heads "
+                        "are the fixed artifacts at every j; default 10 = the "
+                        "0.5/0.5 midpoint)")
+    p.add_argument("--submission-dir", default="res_cirr",
+                   help="cirr_test mode: where the four submission JSONs go")
     p.add_argument("--hf-repo", default="LionheartzzZ/KEDs")
     p.add_argument("--hf-cache", default="")
     p.add_argument("--expected", default=None,
@@ -143,8 +164,21 @@ def main(argv=None) -> None:
                    choices=["bf16", "fp32", "amp", "fp16"])
     p.add_argument("--workers", type=int, default=0)
     p.add_argument("--num-partitions", type=int, default=0)
+    p.add_argument("--quant-towers", default="none", choices=["none", "int8"],
+                   help="quantize the CLIP tower matmuls (the max-serving "
+                        "accuracy question — run once per value and compare)")
+    p.add_argument("--retrieval", default="xla",
+                   choices=["xla", "approx", "int8", "pallas"],
+                   help="DB top-k backend (int8 re-quantizes at load when no "
+                        "build_database --int8 artifacts exist)")
     args = p.parse_args(argv)
     setup_logging()
+    if args.precision in ("amp", "fp16"):
+        # The gate is exactly where near-tie rankings depend on score dtype —
+        # make the bf16 policy mapping impossible to miss.
+        logging.warning("--precision %s maps to bf16 on TPU (no fp16 MXU "
+                        "path); near-tie rankings are evaluated at bf16 — "
+                        "pass fp32 for the exact-score table", args.precision)
 
     img_ckpt = _resolve_artifact(args.image_stream, args.hf_repo, args.hf_cache)
     txt_ckpt = _resolve_artifact(args.text_stream, args.hf_repo, args.hf_cache)
@@ -183,14 +217,16 @@ def main(argv=None) -> None:
     clip_params, clip_cfg, _, t_val = load_clip(img_ckpt)
     db = KnowledgeDB.load(db_img, db_txt, names, dtype=dtype)
     if mesh.devices.size > 1:
-        retriever = Retriever(db.shard_over(mesh), mesh=mesh, sharded=True)
+        retriever = Retriever(db.shard_over(mesh), backend=args.retrieval,
+                              mesh=mesh, sharded=True)
     else:
-        retriever = Retriever(db)
+        retriever = Retriever(db, backend=args.retrieval)
     ctx = EvalContext(
         clip_params=clip_params, cfg=clip_cfg, retriever=retriever,
         image_branch=img_ckpt, text_branch=txt_ckpt,
         batch_size=args.batch_size, db_topk=args.db_topk,
         compute_dtype=dtype, mesh=mesh if mesh.devices.size > 1 else None,
+        quant_towers=args.quant_towers,
     )
     mk_loader = lambda ds: DataLoader(  # noqa: E731
         ds, args.batch_size, num_workers=args.workers)
@@ -204,6 +240,55 @@ def main(argv=None) -> None:
         results = evaluate_cirr(ctx, mk_loader(src), mk_loader(tgt),
                                 epochs=[0])
         table = _flatten(results, fixed_epoch_label=True)
+    elif args.eval_mode == "cirr_test":
+        from keds_tpu.data.datasets import CIRR
+        from keds_tpu.evalkit.evaluators import evaluate_cirr_test
+
+        src = CIRR(transforms=t_val, root=args.data_root, test=True)
+        tgt = CIRR(transforms=t_val, root=args.data_root, mode="imgs",
+                   test=True)
+        results = evaluate_cirr_test(ctx, mk_loader(src), mk_loader(tgt))
+        os.makedirs(args.submission_dir, exist_ok=True)
+        table = {}
+        for key, value in results.items():
+            path = os.path.join(args.submission_dir, key + ".json")
+            with open(path, "w") as f:
+                json.dump(value, f)
+            table[key] = {"submission": path,
+                          "n_queries": len(value) - 2}  # minus version/metric
+        logging.info("wrote %s/{composed,image,text,mixture}.json — submit "
+                     "to the CIRR test server for the recall table",
+                     args.submission_dir)
+        if args.expected:
+            raise SystemExit("--expected does not apply to cirr_test: the "
+                             "recall table only exists server-side")
+    elif args.eval_mode == "fashion":
+        from keds_tpu.data.datasets import FashionIQ
+        from keds_tpu.evalkit.evaluators import evaluate_fashion
+
+        sweep = [int(x) for x in (args.sweep_epochs or "10").split(",")]
+        table = {}
+        for cloth in args.source_data.split(","):
+            src = FashionIQ(cloth=cloth, transforms=t_val,
+                            root=args.data_root, is_return_target_path=True)
+            tgt = FashionIQ(cloth=cloth, transforms=t_val,
+                            root=args.data_root, mode="imgs")
+            results = evaluate_fashion(ctx, mk_loader(src), mk_loader(tgt),
+                                       epochs=sweep)
+            for row, metrics in _flatten(results, False).items():
+                table[f"{cloth}|{row}"] = metrics
+    elif args.eval_mode == "coco":
+        from keds_tpu.data.datasets import CsvCOCO
+        from keds_tpu.evalkit.evaluators import evaluate_coco
+        from keds_tpu.transforms import region_transform
+
+        sweep = [int(x) for x in (args.sweep_epochs or "10").split(",")]
+        src = CsvCOCO(transforms=t_val,
+                      transforms_region=region_transform(
+                          clip_cfg.image_resolution),
+                      root=args.data_root)
+        results = evaluate_coco(ctx, mk_loader(src), epochs=sweep)
+        table = _flatten(results, fixed_epoch_label=False)
     else:
         from keds_tpu.data.datasets import ImageList
 
@@ -232,6 +317,9 @@ def main(argv=None) -> None:
                        "artifacts": {"image_stream": img_ckpt,
                                      "text_stream": txt_ckpt,
                                      "db_image": db_img, "db_text": db_txt},
+                       "precision": args.precision,
+                       "quant_towers": args.quant_towers,
+                       "retrieval": args.retrieval,
                        "parity_ok": None if expected is None else ok}, f,
                       indent=2)
         logging.info("wrote %s", args.out)

@@ -715,3 +715,164 @@ def test_two_process_neighbors_step_matches_search():
         assert "2-process neighbors step OK" in out, out
         losses.add(out.split("loss ")[-1].strip())
     assert len(losses) == 1, losses
+
+
+CHILD_TEXT_BUCKET_CLI = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from keds_tpu.cli.main import main as train_main
+
+args = [
+    "--train-data", os.environ["TEST_FEAT"], "--dataset-type", "directory",
+    "--clip-weights", os.environ["TEST_CKPT"],
+    "--database-path", os.environ["TEST_DBDIR"],
+    "--batch-size", "4", "--epochs", "1", "--warmup", "2",
+    "--lr", "1e-3", "--precision", "fp32", "--workers", "0",
+    "--logs", os.environ["TEST_LOGS"], "--name", os.environ["TEST_NAME"],
+    "--db-topk", "4", "--stream", "text", "--seed", "0",
+]
+if os.environ.get("TEST_DIST_URL"):
+    args += ["--distributed", "--dist-url", os.environ["TEST_DIST_URL"]]
+train_main(args)
+print("text train cli done")
+"""
+
+
+def _text_bucket_fixture(tmp_path):
+    """Synthetic packed-feature set whose 'other' captions span two causal-
+    prefix buckets (short -> S=16, ~18 words -> S=32; nothing needs 77)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from keds_tpu.io.checkpoint import save_train_checkpoint
+    from keds_tpu.io.pt import save_pt
+    from keds_tpu.models import clip as mclip, heads as mheads
+    from keds_tpu.models.composition import FusionHeads
+
+    d = 64
+    ccfg = mclip.ClipConfig(
+        embed_dim=d, image_resolution=32, vision_layers=2, vision_width=128,
+        vision_patch_size=16, transformer_width=d, transformer_heads=1,
+        transformer_layers=2,
+    )
+    params = mclip.init_clip(jax.random.key(0), ccfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    heads = FusionHeads(
+        img2text=mheads.init_im2text(k1, d, 48, d),
+        retrieval_fuse=mheads.init_crossformer(k2, d, d, d, num_layers=3),
+        text_condition=mheads.init_crossformer(k3, d, d, d, num_layers=3),
+    )
+    ckpt = str(tmp_path / "clip_ckpt.pt")
+    save_train_checkpoint(ckpt, epoch=1, name="t", clip_params=params,
+                          clip_cfg=ccfg, heads=heads)
+
+    rng = np.random.default_rng(0)
+    feat_dir = tmp_path / "features"
+    feat_dir.mkdir()
+    n = 32
+    np.save(feat_dir / "image_features.npy",
+            rng.standard_normal((n, d)).astype(np.float32))
+    np.save(feat_dir / "text_features.npy",
+            rng.standard_normal((n, d)).astype(np.float32))
+    names = [f"s{i}" for i in range(n)]
+    long_cap = ("* wearing a bright red scarf sitting on a wooden bench in "
+                "the park next to a small brown dog")
+    others = {m: (long_cap if i % 3 == 0 else "* on a table")
+              for i, m in enumerate(names)}
+    (feat_dir / "names.json").write_text(json.dumps(names))
+    (feat_dir / "cc_subject.json").write_text(
+        json.dumps({m: "a thing" for m in names}))
+    (feat_dir / "cc_other.json").write_text(json.dumps(others))
+
+    db_dir = tmp_path / "db"
+    db_dir.mkdir()
+    save_pt(np.float32(rng.standard_normal((32, d))),
+            str(db_dir / "cc_image_databases.pt"))
+    save_pt(np.float32(rng.standard_normal((32, d))),
+            str(db_dir / "cc_text_databases.pt"))
+    (db_dir / "database_names.txt").write_text(
+        "\n".join(f"s{i}" for i in range(32)))
+    return str(feat_dir), str(db_dir), ckpt
+
+
+def test_two_process_text_stream_bucketed_cli_matches_single_process(tmp_path):
+    """Round-4 VERDICT item 1: multi-process text-stream training must run
+    the S=16/32 causal-prefix bucket programs (not silently fall back to
+    S=77) with a trajectory matching the single-process bucketed run.
+
+    Mechanism under test: per-sample needs (pure function of the dataset,
+    identical on every rank) + the shared-permutation global batch slice
+    give every rank the same per-step bucket; the block rank assignment in
+    DataLoader._indices makes the assembled global array identical to the
+    single-process feed, so the trajectories agree."""
+    import re
+
+    port = _free_port()
+    feat, dbdir, ckpt = _text_bucket_fixture(tmp_path)
+    env_base = dict(os.environ)
+    env_base.pop("WORLD_SIZE", None)
+    env_base.pop("RANK", None)
+    env_base["PYTHONPATH"] = str(REPO_ROOT) + os.pathsep + env_base.get("PYTHONPATH", "")
+    env_base["JAX_PLATFORMS"] = "cpu"
+    env_base["TEST_FEAT"] = feat
+    env_base["TEST_DBDIR"] = dbdir
+    env_base["TEST_CKPT"] = ckpt
+    env_base["TEST_LOGS"] = str(tmp_path / "logs")
+
+    procs = []
+    # 2-process run: 1 local device each, world mesh of 2
+    for rank in range(2):
+        env = dict(env_base)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["TEST_DIST_URL"] = f"tcp://127.0.0.1:{port}"
+        env["TEST_NAME"] = "mp"
+        env["WORLD_SIZE"] = "2"
+        env["RANK"] = str(rank)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", CHILD_TEXT_BUCKET_CLI], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=str(REPO_ROOT),
+        ))
+    # single-process comparator: same 2-device world in one process (same
+    # global batches, same grad_scale) through the bucket_text feed path
+    env = dict(env_base)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["TEST_DIST_URL"] = ""
+    env["TEST_NAME"] = "sp"
+    procs.append(subprocess.Popen(
+        [sys.executable, "-c", CHILD_TEXT_BUCKET_CLI], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(REPO_ROOT),
+    ))
+
+    outs = [p.communicate(timeout=600) for p in procs]
+    buckets = []
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"child {i} failed:\n{err[-3000:]}"
+        assert "text train cli done" in out, out
+        got = sorted(set(int(m) for m in
+                         re.findall(r"causal-prefix bucket S=(\d+)", err)))
+        assert got, f"child {i} logged no bucket lines:\n{err[-2000:]}"
+        assert 77 not in got, f"child {i} fell back to S=77: {got}"
+        buckets.append(got)
+    # every rank AND the single-process comparator ran the same bucket set
+    assert buckets[0] == buckets[1] == buckets[2], buckets
+    assert any(b in (16, 32) for b in buckets[0]), buckets[0]
+
+    from keds_tpu.io.checkpoint import load_heads_checkpoint
+    import jax
+    import numpy as np
+
+    h_mp, _ = load_heads_checkpoint(
+        str(tmp_path / "logs" / "mp" / "checkpoints" / "epoch_1.pt"))
+    h_sp, _ = load_heads_checkpoint(
+        str(tmp_path / "logs" / "sp" / "checkpoints" / "epoch_1.pt"))
+    for a, b in zip(jax.tree.leaves(h_mp), jax.tree.leaves(h_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
