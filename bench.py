@@ -509,6 +509,11 @@ def bench_train(args) -> None:
         "metric": metric,
         "value": round(sps, 2),
         "unit": "sample/s",
+        # Self-describing methodology (advisor round-4): x8-scan numbers are
+        # the in-jit device rate, chained ones include the per-dispatch
+        # tunnel gap — ~2x apart for sub-RTT steps, so JSON consumers must
+        # be able to tell them apart without the human-readable log.
+        "method": "x8-scan" if (args.neighbors or args.scan) else "chained",
         "vs_baseline": round(sps / base, 3),
     }))
 

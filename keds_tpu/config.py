@@ -190,7 +190,9 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
              "with a device gather — bit-identical trajectory, the exact "
              "image-stream step drops its ~47%% retrieval share "
              "(BENCH_NOTES round-4); fingerprint-checked against the DB "
-             "and feature set, refused loudly when stale")
+             "and feature set (row count + names sha1 + a 64-row strided "
+             "content subsample — edits confined to un-sampled rows of a "
+             "same-name DB pass undetected), refused loudly when stale")
     add("--retrieval-backend", type=str, default="auto",
         choices=["auto", "xla", "pallas", "int8", "approx"],
         help="approx: TPU hardware partial-reduce ANN with exact re-rank of "

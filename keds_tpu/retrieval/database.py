@@ -343,7 +343,12 @@ class Retriever:
         PRECOMPUTED rows instead (tools/precompute_neighbors.py) — the
         gather -> permutation -> cast tail is this one canonical op sequence
         either way, so a precomputed-index step is bit-identical to the
-        searched step at the same PRNG key."""
+        searched step at the same PRNG key.  One caveat: the pack tool runs
+        the UNSHARDED exact search, and at exact f32 score ties a sharded
+        (``--db-shard``) merge may legally order the tied rows differently —
+        both are valid exact results (training is equally correct), but
+        strict bitwise parity vs a sharded search is only guaranteed on
+        tie-free corpora."""
         image_db, text_db = db_arrays if db_arrays is not None else (
             self.db.image_db, self.db.text_db
         )

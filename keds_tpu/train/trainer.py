@@ -158,6 +158,19 @@ def make_train_step(
         # bit-identical at the same PRNG key (pinned in
         # tests/test_precompute_neighbors.py).
         precomputed = getattr(batch, "img_idx", None) is not None
+        if precomputed:
+            # A partial index set would pass the img_idx check and die later
+            # in an opaque shape/attribute error — refuse up front with a
+            # pointer at the pack tool (internal API, but cheap to guard).
+            missing = [n for n in (("txt_idx",) if stream == "image" else
+                                   ("txt_idx", "cap2_idx"))
+                       if getattr(batch, n, None) is None]
+            if missing:
+                raise ValueError(
+                    f"precomputed-neighbor batch carries img_idx but not "
+                    f"{missing} (stream={stream!r}); packs from "
+                    "tools/precompute_neighbors.py provide the full index "
+                    "triple — feed all of it or none")
         topk_img, topk_txt = retriever.retrieve_features(
             feats, k=db_topk, rng=r_shuffle, shuffle_image=True,
             db_arrays=(db_img, db_txt), db_quant=db_quant,

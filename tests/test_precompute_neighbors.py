@@ -366,3 +366,33 @@ def test_neighbors_refused_for_auto_resolved_csv(tmp_path):
     with pytest.raises(SystemExit, match="precomputed features"):
         train_main(["--train-data", str(csv), "--dataset-type", "auto",
                     "--neighbors", "auto"])
+
+
+@pytest.mark.parametrize("stream,missing", [("image", ["txt_idx"]),
+                                            ("text", ["txt_idx", "cap2_idx"]),
+                                            ("text", ["cap2_idx"])])
+def test_partial_index_triple_refused(feature_dir, stream, missing):
+    """A batch carrying img_idx but an incomplete index triple must be
+    refused with a message naming the missing fields and the pack tool
+    (advisor round-4: the old img_idx-only check let partial triples
+    die in opaque shape/attribute errors)."""
+    feats, db_dir, out, _ = feature_dir
+    img_idx, txt_idx, cap2_idx, _ = load_neighbors(out)
+    k = 4
+    heads, opt_state, step = _setup_step(db_dir, stream, db_topk=k)
+    fi = np.load(feats / "image_features.npy")[:8]
+    ft = np.load(feats / "text_features.npy")[:8]
+    other = np.stack([
+        _tokens_row([SOT, 320, 1125, 539, SPLIT_ID, SPLIT_ID, 1929, EOT])
+        for _ in range(8)
+    ])
+    nb = dict(img_idx=jnp.asarray(img_idx[:8, :k]),
+              txt_idx=jnp.asarray(txt_idx[:8, :k]),
+              cap2_idx=jnp.asarray(cap2_idx[:8]))
+    for name in missing:
+        nb.pop(name)
+    batch = losses.TrainBatch(
+        image_features=jnp.asarray(fi), caption_features=jnp.asarray(ft),
+        other_tokens=jnp.asarray(other), **nb)
+    with pytest.raises(ValueError, match="precompute_neighbors"):
+        step(heads, opt_state, batch, jax.random.key(7))
