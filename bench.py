@@ -299,20 +299,22 @@ def main() -> None:
     # carry inside one jit; RTT amortized to RTT/REP).
     if args.latency:
         def make_lat_steps(chunk, reps):
-            def body_fn(im, tx):
-                f = mclip.encode_image_chunked(clip_params, cfg, im, chunk)
-                out = rest_body(clip_params, heads, db.image_db, db.text_db,
-                                db_quant, f, tx)
+            # clip/heads/DB are jit ARGUMENTS (rule 3: closures inline ~2.4 GB
+            # of constants into the HLO; the remote-compile path rejects it).
+            def body_fn(cp, hd, dbi, dbt, dbq, im, tx):
+                f = mclip.encode_image_chunked(cp, cfg, im, chunk)
+                out = rest_body(cp, hd, dbi, dbt, dbq, f, tx)
                 return im + (jnp.sum(out) * 1e-30).astype(im.dtype)
 
             @jax.jit
-            def step(im, tx):
-                return body_fn(im, tx)
+            def step(cp, hd, dbi, dbt, dbq, im, tx):
+                return body_fn(cp, hd, dbi, dbt, dbq, im, tx)
 
             @jax.jit
-            def step_rep(im, tx):
-                return jax.lax.fori_loop(0, reps,
-                                         lambda i, c: body_fn(c, tx), im)
+            def step_rep(cp, hd, dbi, dbt, dbq, im, tx):
+                return jax.lax.fori_loop(
+                    0, reps,
+                    lambda i, c: body_fn(cp, hd, dbi, dbt, dbq, c, tx), im)
             return step, step_rep
 
         curve = {}
@@ -323,19 +325,54 @@ def main() -> None:
             reps = max(8, min(64, 512 // b))
             im_b, tx_b = images[:b], text[:b]
             step, step_rep = make_lat_steps(chunk, reps)
-            t_ch = timeit_chain(lambda im: step(im, tx_b), im_b,
-                                max(iters // 2, 3))
-            t_dev = timeit_chain(lambda im: step_rep(im, tx_b), im_b,
-                                 max(iters // 4, 2)) / reps
-            curve[b] = {"chained_ms": round(t_ch * 1e3, 2),
-                        "device_ms": round(t_dev * 1e3, 2)}
-            log(f"latency b{b}: chained {t_ch*1e3:.2f} ms/batch "
-                f"({t_ch*1e3/b:.2f} ms/q amortized), in-jit x{reps} device "
-                f"{t_dev*1e3:.2f} ms/batch ({t_dev*1e3/b:.2f} ms/q)")
+
+            # (1) the ENGINE's request path: two-program schedule (encode,
+            # then rest), one synchronous result fetch per request — the
+            # wall a client of THIS deployment sees (includes ~2 dispatch
+            # RTTs + the fetch RTT of the tunnel; a locally-attached host
+            # saves ~30 ms per hop).
+            @jax.jit
+            def enc_b(cp, im):
+                return mclip.encode_image_chunked(cp, cfg, im, chunk)
+
+            def two_prog_req(im):
+                f = enc_b(clip_params, im)
+                return rest_prog(clip_params, heads, db.image_db, db.text_db,
+                                 db_quant, f, tx_b)
+
+            for _ in range(2):  # warmup/compile
+                float(np.asarray(two_prog_req(im_b)))
+            n_it = max(iters // 2, 3)
+            t0 = time.perf_counter()
+            for _ in range(n_it):
+                float(np.asarray(two_prog_req(im_b)))  # sync per request
+            t_2p = (time.perf_counter() - t0) / n_it
+
+            # (2) fused single-program latencies: chained wall + in-jit
+            # device time.  NOTE the b256 finding (BENCH_NOTES round 5):
+            # the fused chunked-encode lowering is ~2.6x worse than the
+            # two-program schedule the engine actually runs — these numbers
+            # bound a single-dispatch deployment, not the engine.
+            t_ch = timeit_chain(
+                lambda im: step(clip_params, heads, db.image_db, db.text_db,
+                                db_quant, im, tx_b),
+                im_b, max(iters // 2, 3))
+            t_dev = timeit_chain(
+                lambda im: step_rep(clip_params, heads, db.image_db,
+                                    db.text_db, db_quant, im, tx_b),
+                im_b, max(iters // 4, 2)) / reps
+            curve[b] = {"two_prog_chained_ms": round(t_2p * 1e3, 2),
+                        "fused_chained_ms": round(t_ch * 1e3, 2),
+                        "fused_device_ms": round(t_dev * 1e3, 2)}
+            log(f"latency b{b}: two-prog request {t_2p*1e3:.2f} ms "
+                f"({t_2p*1e3/b:.2f} ms/q), fused chained {t_ch*1e3:.2f} ms "
+                f"({t_ch*1e3/b:.2f} ms/q), fused in-jit x{reps} device "
+                f"{t_dev*1e3:.2f} ms ({t_dev*1e3/b:.2f} ms/q)")
         print(json.dumps({
-            "metric": "composed_query_device_latency_ms_per_batch",
-            "value": curve[batch]["device_ms"],
+            "metric": "composed_query_latency_ms_per_batch",
+            "value": curve[batch]["two_prog_chained_ms"],
             "unit": f"ms/b{batch}",
+            "method": "two-program request, sync fetch per batch",
             "curve": curve,
             "vs_baseline": None,
         }))

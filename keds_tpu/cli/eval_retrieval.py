@@ -52,6 +52,7 @@ def main(argv=None) -> None:
         compute_dtype=compute_dtype(cfg),
         mesh=mesh if mesh.devices.size > 1 else None,
         quant_towers=cfg.quant_towers,
+        eval_ranking=cfg.eval_ranking,
     )
     root = cfg.root_data
     mk_loader = lambda ds: DataLoader(ds, cfg.batch_size, num_workers=cfg.workers,

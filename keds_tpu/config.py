@@ -69,6 +69,7 @@ class Config:
     retrieval_backend: str = "auto"  # auto | xla | pallas | int8 | approx
     # TPU-native extensions (no reference counterpart)
     quant_towers: str = "none"  # none | int8: W8A8 tower GEMMs (inference)
+    eval_ranking: str = "host"  # host | device: CIRR sweep ranking on the MXU
     device_preprocess: bool = True  # ship uint8, normalize on device
     worker_processes: bool = False  # decode in worker processes, not threads
     # model
@@ -207,6 +208,14 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
              "(4x smaller weights; ~0.999 embedding cosine and 0.97 top-16 "
              "neighbor overlap on structured images incl. injected outlier "
              "channels — BENCH_NOTES round-3; v5e speed findings ibid.)")
+    add("--eval-ranking", type=str, default="host",
+        choices=["host", "device"],
+        help="device: CIRR sweep ranking on the MXU — (Q, T) score matmul "
+             "+ top-101 per feature type on device, only the index matrix "
+             "fetched per epoch; exact for the reported R@k<=100 given the "
+             "one-GT-per-query corpus contract (checked up front).  Removes "
+             "the two dominant sweep phases at true CIRR scale (BENCH_NOTES "
+             "round 5).  host: the formula-literal numpy path (default)")
     add("--no-device-preprocess", dest="device_preprocess",
         action="store_false", default=True,
         help="disable uint8 transfer + on-device normalization (ship f32 "

@@ -98,6 +98,16 @@ class EvalContext:
     # "int8": W8A8-quantize the tower GEMMs (keds_tpu/ops/quant.py) — 4x
     # smaller tower weights; measured accuracy/speed trade in BENCH_NOTES.md.
     quant_towers: str = "none"
+    # "device": CIRR sweep ranking on the MXU — (Q, T) score matmul +
+    # top-101 per feature type run on device and only the (Q, 101) index
+    # matrix is fetched per epoch (vs 3 full feature fetches + a host
+    # argsort over Q x T).  Exact for the reported R@k<=100 given the
+    # one-GT-per-query corpus contract, checked once up front
+    # (metrics.check_cirr_gt_unique).  At true CIRR scale this removes the
+    # two dominant sweep phases (BENCH_NOTES round 5).  Host default keeps
+    # the formula-literal numpy path; single-process only (under a mesh the
+    # host path's fetch_global handles cross-process assembly).
+    eval_ranking: str = "host"
     _jit_cache: dict = field(default_factory=dict)
     _heads_cache: dict = field(default_factory=dict)
 
@@ -272,9 +282,22 @@ def _log_metrics(tag: str, key: str, m: Dict[str, float]) -> None:
 # CIRR
 # ---------------------------------------------------------------------------
 
+# Phase walls of the most recent evaluate_cirr call (corpus encode, query
+# precompute, per-sweep-step load/compose/metrics accumulators) — read by
+# tools/bench_cirr_fullscale.py and logged at INFO; purely observational.
+last_cirr_walls: Dict[str, float] = {}
+
+
 def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
                   epochs: Sequence[int] = range(1, 31)) -> Dict:
+    import time as _time
+
+    walls = {"corpus_s": 0.0, "queries_s": 0.0, "sweep_s": 0.0,
+             "sweep_load_s": 0.0, "sweep_compose_s": 0.0,
+             "sweep_metrics_s": 0.0, "epochs": 0}
+    t0 = _time.perf_counter()
     corpus, target_paths = _encode_corpus(ctx, target_loader)
+    walls["corpus_s"] = _time.perf_counter() - t0
 
     def unpack(batch):
         # caption_only is NOT uploaded: the val evaluator never encodes it
@@ -286,22 +309,69 @@ def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
             ref_paths=list(ref_paths), answer_paths=list(answer_paths),
         )
 
+    t1 = _time.perf_counter()
     cache = _precompute_queries(ctx, query_loader, unpack)
+    walls["queries_s"] = _time.perf_counter() - t1
     ref_paths = [p for b in cache for p in b["ref_paths"]]
     answer_paths = [p for b in cache for p in b["answer_paths"]]
     compose = ctx.composed_fn("retrieval", use_text_condition=True)
+
+    # Device-ranking sweep (EvalContext.eval_ranking docstring): score
+    # matmul + top-101 on the MXU, only the (Q, 101) index matrix fetched.
+    device_rank = (ctx.eval_ranking == "device"
+                   and (ctx.mesh is None or ctx.mesh.devices.size <= 1)
+                   and jax.process_count() == 1)
+    if ctx.eval_ranking == "device" and not device_rank:
+        logging.info("eval_ranking=device requested under a mesh/multi-"
+                     "process run — falling back to host ranking "
+                     "(fetch_global handles cross-process assembly there)")
+    if device_rank:
+        base_names = [os.path.basename(n) for n in target_paths]
+        M.check_cirr_gt_unique(base_names, ref_paths, answer_paths)
+        corpus_dev = jnp.asarray(corpus)
+        top_k = min(101, corpus.shape[0])
+
+        @jax.jit
+        def rank_fn(a, b, corpus_):
+            mix = 0.5 * a + 0.5 * b
+            mix = mix / jnp.linalg.norm(mix, axis=-1, keepdims=True)
+            # ties toward lower index == the host path's stable
+            # ascending-distance argsort
+            return [jax.lax.top_k(f @ corpus_.T, top_k)[1]
+                    for f in (a, b, mix)]
+
     results = {}
+    t2 = _time.perf_counter()
     for j in epochs:
+        ta = _time.perf_counter()
         heads_ib = ctx.load_heads(ctx.image_branch, j)
         heads_tb = ctx.load_heads(ctx.text_branch, j)
+        tb_ = _time.perf_counter()
         composed, composed_tb = [], []
         for b in cache:  # dispatch all batches, fetch afterwards
             composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
             composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
+        if device_rank:
+            idx3 = rank_fn(jnp.concatenate(composed),
+                           jnp.concatenate(composed_tb), corpus_dev)
+            idx3 = [np.asarray(i) for i in idx3]
+            tc = _time.perf_counter()
+            for key, ti in zip(("composed", "image", "mixture"), idx3):
+                m = M.get_metrics_cirr_from_topk(
+                    ti, base_names, ref_paths, answer_paths, corpus.shape[0])
+                _log_metrics(f"CIRR[j={j}]", key, m)
+                results[(j, key)] = m
+            td = _time.perf_counter()
+            walls["sweep_load_s"] += tb_ - ta
+            walls["sweep_compose_s"] += tc - tb_
+            walls["sweep_metrics_s"] += td - tc
+            walls["epochs"] += 1
+            continue
         composed = np.concatenate([fetch_global(c) for c in composed])
         composed_tb = np.concatenate([fetch_global(c) for c in composed_tb])
         mixture = composed * 0.5 + composed_tb * 0.5
         mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
+        tc = _time.perf_counter()
         feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
         metric_fn = partial(
             M.get_metrics_cirr, corpus,
@@ -312,6 +382,24 @@ def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
             m = metric_fn(ref_features=value)
             _log_metrics(f"CIRR[j={j}]", key, m)
             results[(j, key)] = m
+        td = _time.perf_counter()
+        walls["sweep_load_s"] += tb_ - ta
+        walls["sweep_compose_s"] += tc - tb_
+        walls["sweep_metrics_s"] += td - tc
+        walls["epochs"] += 1
+    walls["sweep_s"] = _time.perf_counter() - t2
+    last_cirr_walls.clear()
+    last_cirr_walls.update(walls)
+    n_ep = max(walls["epochs"], 1)
+    logging.info(
+        "CIRR phase walls: corpus %.2f s (%d imgs), queries %.2f s (%d q), "
+        "sweep %.2f s over %d epoch(s) (per epoch: load %.2f, "
+        "compose+fetch %.2f, metrics %.2f)",
+        walls["corpus_s"], len(target_paths), walls["queries_s"],
+        len(ref_paths), walls["sweep_s"], walls["epochs"],
+        walls["sweep_load_s"] / n_ep, walls["sweep_compose_s"] / n_ep,
+        walls["sweep_metrics_s"] / n_ep,
+    )
     return results
 
 
@@ -423,7 +511,7 @@ def evaluate_coco(ctx: EvalContext, loader,
         # COCO split) for the whole 25-epoch sweep.
         del b["target_images"]
     compose = ctx.composed_fn("retrieval", use_text_condition=True)
-    logit_scale = float(np.exp(np.asarray(ctx.clip_params["logit_scale"])))
+    logit_scale = float(np.exp(np.asarray(ctx.clip_params["logit_scale"])).ravel()[0])
     results = {}
     for j in epochs:
         heads_ib = ctx.load_heads(ctx.image_branch, 2 * j - 1)

@@ -62,9 +62,13 @@ def _masked_cirr_ranking(image_features, ref_features,
     removed (shared by CIRR val metrics and the test-server output)."""
     distances = 1 - _np(ref_features) @ _np(image_features).T
     sorted_indices = np.argsort(distances, axis=-1, kind="stable")
-    sorted_index_names = np.asarray(index_names)[sorted_indices]
-    base = np.vectorize(os.path.basename)
-    sorted_index_names = base(sorted_index_names)
+    # basename() is applied to the n_t corpus names BEFORE fancy-indexing:
+    # basename(names[idx]) == basename(names)[idx] elementwise, and at real
+    # CIRR scale (4181 x 2297) the post-index form is ~9.6M Python-level
+    # basename calls per metric call (x3 feature types x30 sweep epochs) —
+    # it dominated the full-scale sweep wall (BENCH_NOTES round 5).
+    base_names = np.asarray([os.path.basename(n) for n in index_names])
+    sorted_index_names = base_names[sorted_indices]
     reference_mask = sorted_index_names != np.asarray(reference_names)[:, None]
     n_q, n_t = sorted_index_names.shape
     return sorted_index_names[reference_mask].reshape(n_q, n_t - 1)
@@ -81,6 +85,56 @@ def get_metrics_cirr(image_features, ref_features,
     labels = ranked == np.asarray(target_names)[:, None]
     if not (labels.sum(axis=-1) == 1).all():
         raise AssertionError("each query must have exactly one ground-truth target")
+    metrics = {}
+    for k in (1, 5, 10, 50, 100):
+        metrics[f"recall_R@{k}"] = float(labels[:, :k].sum() / len(labels)) * 100
+    return metrics
+
+
+def check_cirr_gt_unique(corpus_base_names: Sequence[str],
+                         reference_names: Sequence[str],
+                         target_names: Sequence[str]) -> None:
+    """One-time equivalent of get_metrics_cirr's per-epoch 'exactly one
+    ground truth' assertion, for rankings truncated to top-K: the full-width
+    assertion holds for EVERY score matrix iff each target basename occurs
+    exactly once in the corpus and never equals its query's reference (the
+    mask would remove it).  Head-independent, so checked once per eval."""
+    from collections import Counter
+
+    counts = Counter(corpus_base_names)
+    for t, r in zip(target_names, reference_names):
+        if counts.get(t, 0) != 1 or t == r:
+            raise AssertionError("each query must have exactly one ground-truth target")
+        if counts.get(r, 0) != 1:
+            # the full-width path fails its (n_q, n_t-1) reshape here: the
+            # mask must remove exactly one entry per row
+            raise AssertionError(
+                "each query's reference image must appear exactly once in the corpus")
+
+
+def get_metrics_cirr_from_topk(top_idx: np.ndarray,
+                               corpus_base_names: Sequence[str],
+                               reference_names: Sequence[str],
+                               target_names: Sequence[str],
+                               n_corpus: int) -> Dict[str, float]:
+    """CIRR recalls from a (Q, K) matrix of top-K corpus indices (scores
+    descending, ties broken toward lower index — ``jax.lax.top_k``'s order,
+    which equals get_metrics_cirr's stable ascending-distance argsort).
+
+    Exact for R@k, k<=100, when K = min(101, n_corpus): after removing the
+    query's own reference (present in the corpus exactly once —
+    ``check_cirr_gt_unique``), every row retains >= min(100, n_corpus-1)
+    entries, the full prefix the R@100 metric reads.  Used by the device-
+    ranking eval path (EvalContext.eval_ranking='device'): the (Q, T) score
+    matmul + top-k run on the MXU and only the index matrix is fetched."""
+    base = np.asarray(corpus_base_names)
+    names = base[np.asarray(top_idx)]  # (Q, K)
+    keep = names != np.asarray(reference_names)[:, None]
+    out_w = min(100, n_corpus - 1)
+    # kept entries first, original order preserved (stable argsort of ~keep)
+    order = np.argsort(~keep, axis=1, kind="stable")[:, :out_w]
+    ranked = np.take_along_axis(names, order, axis=1)
+    labels = ranked == np.asarray(target_names)[:, None]
     metrics = {}
     for k in (1, 5, 10, 50, 100):
         metrics[f"recall_R@{k}"] = float(labels[:, :k].sum() / len(labels)) * 100

@@ -282,3 +282,25 @@ def test_evaluate_coco_end_to_end(tiny_model, coco_root):
         assert m["image_to_ref_mean_rank"] >= 1.0
         for k in (1, 5):
             assert 0.0 <= m[f"image_to_ref_R@{k}"] <= 1.0
+
+
+def test_evaluate_cirr_device_ranking_matches_host(tiny_model, cirr_root):
+    """eval_ranking='device' (MXU score matmul + top-k, index-only fetch)
+    must reproduce the host numpy sweep's recall cells exactly."""
+    cfg, clip_params, db, ib, tb = tiny_model
+    t_val = image_transform(cfg.image_resolution)
+
+    def run(ranking):
+        src = CIRR(transforms=t_val, root=cirr_root)
+        tgt = CIRR(transforms=t_val, root=cirr_root, mode="imgs")
+        ctx = EvalContext(
+            clip_params=clip_params, cfg=cfg, retriever=Retriever(db),
+            image_branch=ib, text_branch=tb, compute_dtype=jnp.float32,
+            eval_ranking=ranking,
+        )
+        return evaluate_cirr(ctx, DataLoader(src, 4), DataLoader(tgt, 4),
+                             epochs=[1, 2])
+
+    host = run("host")
+    device = run("device")
+    assert host == device

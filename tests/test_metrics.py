@@ -120,3 +120,68 @@ def test_imgnet_metrics_against_torch_formula():
         exp[f"Real2Sketch_P@{k}"] /= n_q
     for key in exp:
         assert ours[key] == pytest.approx(exp[key], rel=1e-5), key
+
+
+def _topk_idx_like_lax(scores, k):
+    """Emulate jax.lax.top_k's index output: values descending, exact-score
+    ties broken toward the LOWER index — identical to a stable argsort of
+    the negated scores."""
+    return np.argsort(-scores, axis=1, kind="stable")[:, :k]
+
+
+def test_cirr_from_topk_matches_full_ranking():
+    """Device-ranking sweep path (eval_ranking='device'): recalls computed
+    from the top-min(101, T) index matrix must equal get_metrics_cirr's
+    full-width values — including when the ranking is truncated (T > 101)
+    and when the reference image sits inside/outside the kept prefix."""
+    rng = np.random.default_rng(7)
+    for n_t in (20, 150):  # full-width and truncated regimes
+        n_q = 40
+        image = _feats(n_t)
+        ref = _feats(n_q)
+        # every reference/target in-corpus, target != reference
+        target_names = [f"img{i}.png" for i in range(n_t)]
+        ref_ids = rng.integers(0, n_t, n_q)
+        tgt_ids = (ref_ids + 1 + rng.integers(0, n_t - 1, n_q)) % n_t
+        reference_names = [target_names[i] for i in ref_ids]
+        answers = [target_names[i] for i in tgt_ids]
+        index_names = [os.path.join("/corpus", t) for t in target_names]
+        want = M.get_metrics_cirr(image, ref, reference_names, index_names, answers)
+        k = min(101, n_t)
+        top_idx = _topk_idx_like_lax(ref @ image.T, k)
+        M.check_cirr_gt_unique(target_names, reference_names, answers)
+        got = M.get_metrics_cirr_from_topk(top_idx, target_names,
+                                           reference_names, answers, n_t)
+        assert got == want, (n_t, got, want)
+
+
+def test_cirr_from_topk_exact_score_ties():
+    """Duplicate corpus rows force exact f32 score ties; both paths must
+    break them identically (toward the lower corpus index)."""
+    n_t, n_q = 30, 8
+    image = _feats(n_t)
+    image[10] = image[3]  # exact tie pair
+    image[25] = image[3]  # exact tie triple
+    ref = _feats(n_q)
+    target_names = [f"img{i}.png" for i in range(n_t)]
+    reference_names = [target_names[i] for i in range(n_q)]
+    answers = [target_names[i + 10] for i in range(n_q)]
+    want = M.get_metrics_cirr(image, ref, reference_names,
+                              target_names, answers)
+    top_idx = _topk_idx_like_lax(ref @ image.T, min(101, n_t))
+    got = M.get_metrics_cirr_from_topk(top_idx, target_names,
+                                       reference_names, answers, n_t)
+    assert got == want
+
+
+def test_check_cirr_gt_unique_refusals():
+    names = ["a.png", "b.png", "c.png"]
+    M.check_cirr_gt_unique(names, ["a.png"], ["b.png"])  # ok
+    with pytest.raises(AssertionError):  # target == reference (masked out)
+        M.check_cirr_gt_unique(names, ["a.png"], ["a.png"])
+    with pytest.raises(AssertionError):  # target not in corpus
+        M.check_cirr_gt_unique(names, ["a.png"], ["z.png"])
+    with pytest.raises(AssertionError):  # duplicate target in corpus
+        M.check_cirr_gt_unique(names + ["b.png"], ["a.png"], ["b.png"])
+    with pytest.raises(AssertionError):  # duplicate reference in corpus
+        M.check_cirr_gt_unique(names + ["a.png"], ["a.png"], ["b.png"])
