@@ -210,12 +210,14 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
              "channels — BENCH_NOTES round-3; v5e speed findings ibid.)")
     add("--eval-ranking", type=str, default="host",
         choices=["host", "device"],
-        help="device: CIRR sweep ranking on the MXU — (Q, T) score matmul "
-             "+ top-101 per feature type on device, only the index matrix "
-             "fetched per epoch; exact for the reported R@k<=100 given the "
-             "one-GT-per-query corpus contract (checked up front).  Removes "
-             "the two dominant sweep phases at true CIRR scale (BENCH_NOTES "
-             "round 5).  host: the formula-literal numpy path (default)")
+        help="device: sweep ranking on the MXU (CIRR/Fashion/COCO/ImageNet "
+             "evaluators) — score matmul at Precision.HIGHEST + the rank "
+             "reduction on device, only the integer result fetched per "
+             "epoch; equals the host recall cells given the corpus "
+             "contracts checked up front.  Removes the two dominant sweep "
+             "phases at true CIRR scale: 823 -> 330 s end-to-end "
+             "(BENCH_NOTES round 5).  host: the formula-literal numpy path "
+             "(default)")
     add("--no-device-preprocess", dest="device_preprocess",
         action="store_false", default=True,
         help="disable uint8 transfer + on-device normalization (ship f32 "

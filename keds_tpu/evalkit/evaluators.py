@@ -98,15 +98,19 @@ class EvalContext:
     # "int8": W8A8-quantize the tower GEMMs (keds_tpu/ops/quant.py) — 4x
     # smaller tower weights; measured accuracy/speed trade in BENCH_NOTES.md.
     quant_towers: str = "none"
-    # "device": CIRR sweep ranking on the MXU — (Q, T) score matmul +
-    # top-101 per feature type run on device and only the (Q, 101) index
-    # matrix is fetched per epoch (vs 3 full feature fetches + a host
-    # argsort over Q x T).  Exact for the reported R@k<=100 given the
-    # one-GT-per-query corpus contract, checked once up front
-    # (metrics.check_cirr_gt_unique).  At true CIRR scale this removes the
-    # two dominant sweep phases (BENCH_NOTES round 5).  Host default keeps
-    # the formula-literal numpy path; single-process only (under a mesh the
-    # host path's fetch_global handles cross-process assembly).
+    # "device": sweep ranking on the MXU for the CIRR/Fashion/COCO/ImageNet
+    # evaluators — the (Q, T) score matmul plus the rank reduction (top-101
+    # / top-100 / diagonal ranks / top-200) run on device and only the tiny
+    # integer result is fetched per epoch (vs full feature fetches + host
+    # argsorts over Q x T).  Equals the host recall cells given the corpus
+    # contracts checked once up front (metrics.check_*_gt_unique); the score
+    # matmul runs at Precision.HIGHEST (f32-equivalent — the TPU's default
+    # f32 dot is single-pass bf16 and measurably reorders near-ties,
+    # BENCH_NOTES round 5), so the two paths can differ only on scores tied
+    # to within f32 reduction order.  At true CIRR scale this removes the
+    # two dominant sweep phases (823 -> 330 s end-to-end).  Host default
+    # keeps the formula-literal numpy path; single-process only (under a
+    # mesh the host path's fetch_global handles cross-process assembly).
     eval_ranking: str = "host"
     _jit_cache: dict = field(default_factory=dict)
     _heads_cache: dict = field(default_factory=dict)
@@ -288,6 +292,29 @@ def _log_metrics(tag: str, key: str, m: Dict[str, float]) -> None:
 last_cirr_walls: Dict[str, float] = {}
 
 
+def _device_rank_enabled(ctx: EvalContext) -> bool:
+    """Gate for the device-ranking sweep paths (single-process, no mesh —
+    under a mesh the host paths' fetch_global handles cross-process
+    assembly).  Shared by the CIRR/Fashion/COCO/ImageNet evaluators."""
+    if ctx.eval_ranking != "device":
+        return False
+    ok = ((ctx.mesh is None or ctx.mesh.devices.size <= 1)
+          and jax.process_count() == 1)
+    if not ok:
+        logging.info("eval_ranking=device requested under a mesh/multi-"
+                     "process run — falling back to host ranking "
+                     "(fetch_global handles cross-process assembly there)")
+    return ok
+
+
+_RANK_PRECISION = jax.lax.Precision.HIGHEST
+# TPU f32 dot otherwise lowers the multiply to single-pass bf16 — LESS
+# precise than the host paths' numpy f32 matmuls; measurably reorders
+# near-ties at real CIRR scale (BENCH_NOTES round 5).  These ranking
+# matmuls are tiny next to the sweeps they serve, so the f32-equivalent
+# 6-pass dot costs nothing measurable.
+
+
 def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
                   epochs: Sequence[int] = range(1, 31)) -> Dict:
     import time as _time
@@ -318,13 +345,7 @@ def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
 
     # Device-ranking sweep (EvalContext.eval_ranking docstring): score
     # matmul + top-101 on the MXU, only the (Q, 101) index matrix fetched.
-    device_rank = (ctx.eval_ranking == "device"
-                   and (ctx.mesh is None or ctx.mesh.devices.size <= 1)
-                   and jax.process_count() == 1)
-    if ctx.eval_ranking == "device" and not device_rank:
-        logging.info("eval_ranking=device requested under a mesh/multi-"
-                     "process run — falling back to host ranking "
-                     "(fetch_global handles cross-process assembly there)")
+    device_rank = _device_rank_enabled(ctx)
     if device_rank:
         base_names = [os.path.basename(n) for n in target_paths]
         M.check_cirr_gt_unique(base_names, ref_paths, answer_paths)
@@ -337,7 +358,9 @@ def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
             mix = mix / jnp.linalg.norm(mix, axis=-1, keepdims=True)
             # ties toward lower index == the host path's stable
             # ascending-distance argsort
-            return [jax.lax.top_k(f @ corpus_.T, top_k)[1]
+            return [jax.lax.top_k(
+                        jnp.matmul(f, corpus_.T, precision=_RANK_PRECISION),
+                        top_k)[1]
                     for f in (a, b, mix)]
 
     results = {}
@@ -460,6 +483,26 @@ def evaluate_fashion(ctx: EvalContext, source_loader, target_loader,
     cache = _precompute_queries(ctx, source_loader, unpack)
     answer_paths = [p for b in cache for p in b["answer_paths"]]
     compose = ctx.composed_fn("train", use_text_condition=False)
+
+    device_rank = _device_rank_enabled(ctx)
+    if device_rank:
+        M.check_fashion_gt_unique(target_paths, answer_paths)
+        corpus_dev = jnp.asarray(corpus)
+        top_k = min(100, corpus.shape[0])
+
+        @jax.jit
+        def rank_fn(a, b, w_b, w_a, corpus_):
+            # weights traced so the sweep reuses one compiled program; BOTH
+            # are passed pre-rounded to f32 on host — the host path computes
+            # (1 - 0.05*j) in f64 before the f32 multiply, so deriving one
+            # from the other in f32 here could differ by an ulp
+            mix = w_b * b + w_a * a
+            mix = mix / jnp.linalg.norm(mix, axis=-1, keepdims=True)
+            return [jax.lax.top_k(
+                        jnp.matmul(f, corpus_.T, precision=_RANK_PRECISION),
+                        top_k)[1]
+                    for f in (a, b, mix)]
+
     results = {}
     for j in epochs:
         heads_ib = ctx.load_heads(ctx.image_branch, 2 * j - 1)
@@ -468,6 +511,17 @@ def evaluate_fashion(ctx: EvalContext, source_loader, target_loader,
         for b in cache:  # dispatch all batches, fetch afterwards
             composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
             composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
+        if device_rank:
+            idx3 = rank_fn(jnp.concatenate(composed),
+                           jnp.concatenate(composed_tb),
+                           jnp.float32(0.05 * j), jnp.float32(1 - 0.05 * j),
+                           corpus_dev)
+            for key, ti in zip(("composed", "image", "mixture"), idx3):
+                m = M.get_metrics_fashion_from_topk(
+                    np.asarray(ti), target_paths, answer_paths)
+                _log_metrics(f"Fashion[j={j}]", key, m)
+                results[(j, key)] = m
+            continue
         composed = np.concatenate([fetch_global(c) for c in composed])
         composed_tb = np.concatenate([fetch_global(c) for c in composed_tb])
         mixture = 0.05 * j * composed_tb + (1 - 0.05 * j) * composed
@@ -512,6 +566,34 @@ def evaluate_coco(ctx: EvalContext, loader,
         del b["target_images"]
     compose = ctx.composed_fn("retrieval", use_text_condition=True)
     logit_scale = float(np.exp(np.asarray(ctx.clip_params["logit_scale"])).ravel()[0])
+
+    device_rank = _device_rank_enabled(ctx)
+    if device_rank:
+        corpus_dev = jnp.asarray(corpus)
+
+        def _diag_ranks(logits):
+            # 0-based rank a stable descending argsort assigns the diagonal:
+            # strictly-greater entries, plus equal entries at lower index
+            n = logits.shape[0]
+            gt = jnp.diagonal(logits)[:, None]
+            idx = jnp.arange(n)
+            greater = (logits > gt).sum(axis=1)
+            eq_before = ((logits == gt) & (idx[None, :] < idx[:, None])).sum(axis=1)
+            return greater + eq_before
+
+        @jax.jit
+        def preds_fn(a, b, w_b, w_a, corpus_):
+            mix = w_b * b + w_a * a
+            mix = mix / jnp.linalg.norm(mix, axis=-1, keepdims=True)
+            out = []
+            for f in (a, b, mix):
+                # host formula: logits_per_image = scale * corpus @ f.T,
+                # ranked per row (image_to_ref) and per column (ref_to_image)
+                logits = logit_scale * jnp.matmul(corpus_, f.T,
+                                                  precision=_RANK_PRECISION)
+                out.append((_diag_ranks(logits), _diag_ranks(logits.T)))
+            return out
+
     results = {}
     for j in epochs:
         heads_ib = ctx.load_heads(ctx.image_branch, 2 * j - 1)
@@ -522,6 +604,17 @@ def evaluate_coco(ctx: EvalContext, loader,
         for b in cache:  # dispatch all batches, fetch afterwards
             composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
             composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
+        if device_rank:
+            preds3 = preds_fn(jnp.concatenate(composed),
+                              jnp.concatenate(composed_tb),
+                              jnp.float32(0.05 * j), jnp.float32(1 - 0.05 * j),
+                              corpus_dev)
+            for key, (p_i2r, p_r2i) in zip(("composed", "image", "mixture"), preds3):
+                m = M.get_metrics_coco_from_preds(np.asarray(p_i2r),
+                                                  np.asarray(p_r2i))
+                _log_metrics(f"COCO[j={j}]", key, m)
+                results[(j, key)] = m
+            continue
         composed = np.concatenate([fetch_global(c) for c in composed])
         composed_tb = np.concatenate([fetch_global(c) for c in composed_tb])
         mixture = 0.05 * j * composed_tb + (1 - 0.05 * j) * composed
@@ -557,6 +650,21 @@ def evaluate_imgnet_retrieval(ctx: EvalContext, prompts: Sequence[str],
 
     cache = _precompute_queries(ctx, query_loader, unpack)
     compose = ctx.composed_fn("retrieval", use_text_condition=True)
+
+    device_rank = _device_rank_enabled(ctx)
+    if device_rank:
+        target_dev = jnp.asarray(target_feats)
+        top_k = min(200, target_feats.shape[0])
+
+        @jax.jit
+        def rank_fn(a, b, w_b, w_a, target_):
+            mix = w_b * b + w_a * a
+            mix = mix / jnp.linalg.norm(mix, axis=-1, keepdims=True)
+            return [jax.lax.top_k(
+                        jnp.matmul(f, target_.T, precision=_RANK_PRECISION),
+                        top_k)[1]
+                    for f in (a, b, mix)]
+
     results = {}
     for j in epochs:
         heads_ib = ctx.load_heads(ctx.image_branch, 2 * j - 1)
@@ -569,9 +677,20 @@ def evaluate_imgnet_retrieval(ctx: EvalContext, prompts: Sequence[str],
                 composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], text_b))
                 composed_tb.append(compose(heads_tb, b["feats"], b["topk_img"], b["topk_txt"], text_b))
                 labels_all.append(b["labels"] + n_class * p_ind)
+            labels_all = np.concatenate(labels_all)
+            if device_rank:
+                idx3 = rank_fn(jnp.concatenate(composed),
+                               jnp.concatenate(composed_tb),
+                               jnp.float32(0.1 * j), jnp.float32(1 - 0.1 * j),
+                               target_dev)
+                for key, ti in zip(("composed", "image", "mixture"), idx3):
+                    m = M.get_metrics_imgnet_from_topk(
+                        np.asarray(ti), labels_all, target_labels)
+                    _log_metrics(f"ImgNet[j={j}, prompt={p!r}]", key, m)
+                    results[(j, p, key)] = m
+                continue
             composed = np.concatenate([fetch_global(c) for c in composed])
             composed_tb = np.concatenate([fetch_global(c) for c in composed_tb])
-            labels_all = np.concatenate(labels_all)
             mixture = 0.1 * j * composed_tb + (1 - 0.1 * j) * composed
             mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
             feats = {"composed": composed, "image": composed_tb, "mixture": mixture}

@@ -24,14 +24,29 @@ def get_metrics_coco(image_features, ref_features, logit_scale) -> Dict[str, flo
     eval_utils.py:1008-1022); ground truth is the diagonal pairing."""
     image_features, ref_features = _np(image_features), _np(ref_features)
     scale = float(np.asarray(logit_scale))
-    metrics: Dict[str, float] = {}
     logits_per_image = scale * image_features @ ref_features.T
     logits = {"image_to_ref": logits_per_image, "ref_to_image": logits_per_image.T}
     n = len(ref_features)
     ground_truth = np.arange(n)[:, None]
+    preds = {}
     for name, logit in logits.items():
         ranking = np.argsort(-logit, axis=1, kind="stable")
-        preds = np.where(ranking == ground_truth)[1]
+        preds[name] = np.where(ranking == ground_truth)[1]
+    return get_metrics_coco_from_preds(preds["image_to_ref"],
+                                       preds["ref_to_image"])
+
+
+def get_metrics_coco_from_preds(preds_image_to_ref: np.ndarray,
+                                preds_ref_to_image: np.ndarray) -> Dict[str, float]:
+    """COCO stats from the 0-based rank of each ground-truth diagonal entry
+    per direction.  Shared by the host path (ranks via full argsort) and the
+    device-ranking path (ranks computed on device as
+    ``#{j: logit_j > gt} + #{j < i: logit_j == gt}`` — the position a stable
+    descending argsort assigns the diagonal, so both paths agree exactly,
+    including under exact score ties)."""
+    metrics: Dict[str, float] = {}
+    for name, preds in (("image_to_ref", np.asarray(preds_image_to_ref)),
+                        ("ref_to_image", np.asarray(preds_ref_to_image))):
         metrics[f"{name}_mean_rank"] = float(preds.mean() + 1)
         metrics[f"{name}_median_rank"] = float(np.floor(np.median(preds)) + 1)
         for k in (1, 5, 10, 50, 100):
@@ -50,6 +65,37 @@ def get_metrics_fashion(image_features, ref_features,
     labels = sorted_index_names == np.asarray(answer_names)[:, None]
     if not (labels.sum(axis=-1) == 1).all():
         raise AssertionError("each query must have exactly one ground-truth target")
+    metrics = {}
+    for k in (1, 5, 10, 50, 100):
+        metrics[f"R@{k}"] = float(labels[:, :k].sum() / len(labels)) * 100
+    return metrics
+
+
+def check_fashion_gt_unique(target_names: Sequence[str],
+                            answer_names: Sequence[str]) -> None:
+    """One-time equivalent of get_metrics_fashion's per-epoch 'exactly one
+    ground truth' assertion for rankings truncated to top-K: the full-width
+    assertion holds for EVERY score matrix iff each query's answer occurs
+    exactly once in the target corpus.  Head-independent, so checked once
+    per eval by the device-ranking path."""
+    from collections import Counter
+
+    counts = Counter(target_names)
+    for a in answer_names:
+        if counts.get(a, 0) != 1:
+            raise AssertionError("each query must have exactly one ground-truth target")
+
+
+def get_metrics_fashion_from_topk(top_idx: np.ndarray,
+                                  target_names: Sequence[str],
+                                  answer_names: Sequence[str]) -> Dict[str, float]:
+    """Fashion-IQ recalls from a (Q, K) matrix of top-K corpus indices
+    (scores descending, ties toward lower index — ``jax.lax.top_k``'s order,
+    equal to get_metrics_fashion's stable ascending-distance argsort).
+    Exact for R@k, k<=100, when K = min(100, n_corpus); requires
+    ``check_fashion_gt_unique`` (run once per eval by the device path)."""
+    names = np.asarray(target_names)[np.asarray(top_idx)]  # (Q, K)
+    labels = names == np.asarray(answer_names)[:, None]
     metrics = {}
     for k in (1, 5, 10, 50, 100):
         metrics[f"R@{k}"] = float(labels[:, :k].sum() / len(labels)) * 100
@@ -192,4 +238,41 @@ def get_metrics_imgnet(query_features, image_features,
     for k in ks:
         metrics[f"Real2Sketch_R@{k}"] /= len(query_features)
         metrics[f"Real2Sketch_P@{k}"] /= len(query_features)
+    return metrics
+
+
+def get_metrics_imgnet_from_topk(top_idx: np.ndarray,
+                                 query_labels, target_labels) -> Dict[str, float]:
+    """ImageNet domain-transfer metrics from a (Q, K) top-K index matrix,
+    K = min(200, n_targets).  Value-identical to get_metrics_imgnet given
+    the same ranking prefix: every quantity it reads is recoverable from the
+    top-K indices — num_correct(k) = label matches within top-k,
+    num_predicted(k) = min(k, n_targets) (the scatter writes exactly that
+    many ones), num_total = per-query label population (rank-independent).
+    The 100-query chunking and f32 arithmetic are replicated expression-for-
+    expression so the floating-point accumulation matches bitwise."""
+    query_labels = np.asarray(query_labels)
+    target_labels = np.asarray(target_labels)
+    ks = (1, 5, 10, 50, 100, 200)
+    metrics = {f"Real2Sketch_R@{k}": 0.0 for k in ks}
+    metrics.update({f"Real2Sketch_P@{k}": 0.0 for k in ks})
+    n_targets = len(target_labels)
+    top_labels = target_labels[np.asarray(top_idx)]  # (Q, K)
+    for start in range(0, len(query_labels), 100):
+        labels = query_labels[start:start + 100]
+        n_b = len(labels)
+        match = (top_labels[start:start + 100] ==
+                 labels[:, None]).astype(np.float32)
+        num_total = (labels[:, None] ==
+                     target_labels[None, :]).astype(np.float32).sum(axis=1)
+        for k in ks:
+            num_correct = match[:, :k].sum(axis=1)
+            num_predicted = np.float32(min(k, n_targets))
+            recall = float(np.mean(num_correct / (num_total + 1e-5)))
+            precision = float(np.mean(num_correct / num_predicted))
+            metrics[f"Real2Sketch_R@{k}"] += recall * n_b
+            metrics[f"Real2Sketch_P@{k}"] += precision * n_b
+    for k in ks:
+        metrics[f"Real2Sketch_R@{k}"] /= len(query_labels)
+        metrics[f"Real2Sketch_P@{k}"] /= len(query_labels)
     return metrics

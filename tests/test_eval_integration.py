@@ -304,3 +304,69 @@ def test_evaluate_cirr_device_ranking_matches_host(tiny_model, cirr_root):
     host = run("host")
     device = run("device")
     assert host == device
+
+
+def test_evaluate_fashion_device_ranking_matches_host(tiny_model, fashion_root):
+    cfg, clip_params, db, ib, tb = tiny_model
+    t_val = image_transform(cfg.image_resolution)
+
+    def run(ranking):
+        src = FashionIQ(cloth="dress", transforms=t_val, root=fashion_root,
+                        is_return_target_path=True)
+        tgt = FashionIQ(cloth="dress", transforms=t_val, root=fashion_root,
+                        mode="imgs")
+        ctx = EvalContext(
+            clip_params=clip_params, cfg=cfg, retriever=Retriever(db),
+            image_branch=ib, text_branch=tb, compute_dtype=jnp.float32,
+            eval_ranking=ranking,
+        )
+        return evaluate_fashion(ctx, DataLoader(src, 4), DataLoader(tgt, 4),
+                                epochs=[1])
+
+    assert run("host") == run("device")
+
+
+def test_evaluate_coco_device_ranking_matches_host(tiny_model, coco_root):
+    from keds_tpu.data.datasets import CsvCOCO
+    from keds_tpu.evalkit.evaluators import evaluate_coco
+    from keds_tpu.transforms import region_transform
+
+    cfg, clip_params, db, ib, tb = tiny_model
+    t_val = image_transform(cfg.image_resolution)
+
+    def run(ranking):
+        ds = CsvCOCO(transforms=t_val,
+                     transforms_region=region_transform(cfg.image_resolution),
+                     root=coco_root)
+        ctx = EvalContext(
+            clip_params=clip_params, cfg=cfg, retriever=Retriever(db),
+            image_branch=ib, text_branch=tb, compute_dtype=jnp.float32,
+            eval_ranking=ranking,
+        )
+        return evaluate_coco(ctx, DataLoader(ds, 3), epochs=[1])
+
+    assert run("host") == run("device")
+
+
+def test_evaluate_imgnet_device_ranking_matches_host(tiny_model, imgnet_root):
+    from keds_tpu.data.datasets import ImageList
+    from keds_tpu.evalkit.evaluators import evaluate_imgnet_retrieval
+
+    cfg, clip_params, db, ib, tb = tiny_model
+    t_val = image_transform(cfg.image_resolution)
+
+    def run(ranking):
+        src = ImageList(os.path.join(imgnet_root, "imgnet", "imgnet_real_query.txt"),
+                        root=imgnet_root, transforms=t_val, is_labels=True)
+        tgt = ImageList(os.path.join(imgnet_root, "imgnet", "imgnet_targets.txt"),
+                        root=imgnet_root, transforms=t_val, is_labels=True)
+        ctx = EvalContext(
+            clip_params=clip_params, cfg=cfg, retriever=Retriever(db),
+            image_branch=ib, text_branch=tb, compute_dtype=jnp.float32,
+            eval_ranking=ranking,
+        )
+        return evaluate_imgnet_retrieval(
+            ctx, ["a cartoon of *"], DataLoader(src, 3), DataLoader(tgt, 5),
+            epochs=[1])
+
+    assert run("host") == run("device")

@@ -185,3 +185,76 @@ def test_check_cirr_gt_unique_refusals():
         M.check_cirr_gt_unique(names + ["b.png"], ["a.png"], ["b.png"])
     with pytest.raises(AssertionError):  # duplicate reference in corpus
         M.check_cirr_gt_unique(names + ["a.png"], ["a.png"], ["b.png"])
+
+
+def test_fashion_from_topk_matches_full_ranking():
+    """Device-ranking Fashion path: recalls from the top-min(100, T) index
+    matrix must equal get_metrics_fashion's full-width values, in both the
+    full-width and truncated (T > 100) regimes, including exact-score ties
+    (duplicate corpus rows)."""
+    for n_t in (20, 150):
+        n_q = 40
+        image = _feats(n_t)
+        image[n_t - 1] = image[0]  # exact tie pair
+        ref = _feats(n_q)
+        target_names = [f"t{i}.png" for i in range(n_t)]
+        rng = np.random.default_rng(3)
+        answers = [target_names[i] for i in rng.integers(0, n_t - 1, n_q)]
+        want = M.get_metrics_fashion(image, ref, target_names, answers)
+        k = min(100, n_t)
+        top_idx = _topk_idx_like_lax(ref @ image.T, k)
+        M.check_fashion_gt_unique(target_names, answers)
+        got = M.get_metrics_fashion_from_topk(top_idx, target_names, answers)
+        assert got == want, (n_t, got, want)
+
+
+def test_check_fashion_gt_unique_refusals():
+    names = ["a.png", "b.png", "c.png"]
+    M.check_fashion_gt_unique(names, ["b.png"])  # ok
+    with pytest.raises(AssertionError):  # answer not in corpus
+        M.check_fashion_gt_unique(names, ["z.png"])
+    with pytest.raises(AssertionError):  # duplicate answer in corpus
+        M.check_fashion_gt_unique(names + ["b.png"], ["b.png"])
+
+
+def _diag_ranks_np(logits):
+    """Numpy transcription of the device _diag_ranks formula."""
+    n = logits.shape[0]
+    gt = np.diagonal(logits)[:, None]
+    idx = np.arange(n)
+    greater = (logits > gt).sum(axis=1)
+    eq_before = ((logits == gt) & (idx[None, :] < idx[:, None])).sum(axis=1)
+    return greater + eq_before
+
+
+def test_coco_from_preds_matches_full_ranking():
+    """Device-ranking COCO path: diag-rank formula (#greater + #equal at
+    lower index) must reproduce the host path's stable-argsort positions —
+    including exact diagonal ties from duplicated feature rows."""
+    n = 40
+    image, ref = _feats(n), _feats(n)
+    image[7] = image[3]  # exact tie rows in both directions
+    ref[25] = ref[3]
+    want = M.get_metrics_coco(image, ref, logit_scale=100.0)
+    logits = np.float32(100.0) * (image @ ref.T)
+    got = M.get_metrics_coco_from_preds(_diag_ranks_np(logits),
+                                        _diag_ranks_np(logits.T))
+    assert got == want
+
+
+def test_imgnet_from_topk_matches_full():
+    """Device-ranking ImageNet path: metrics from the top-min(200, T) index
+    matrix must equal get_metrics_imgnet bit-for-bit (the from_topk variant
+    replicates the 100-query chunking and f32 accumulation), in both the
+    K=n_targets and truncated (T > 200) regimes."""
+    rng = np.random.default_rng(11)
+    for n_t in (150, 250):
+        n_q = 230  # > 2 chunks of 100, with a ragged tail
+        query = _feats(n_q)
+        target = _feats(n_t)
+        q_labels = rng.integers(0, 9, n_q)
+        t_labels = rng.integers(0, 9, n_t)
+        want = M.get_metrics_imgnet(query, target, q_labels, t_labels)
+        top_idx = _topk_idx_like_lax(query @ target.T, min(200, n_t))
+        got = M.get_metrics_imgnet_from_topk(top_idx, q_labels, t_labels)
+        assert got == want, (n_t, got, want)
