@@ -214,10 +214,11 @@ def _add_flags(parser: argparse.ArgumentParser) -> None:
              "evaluators) — score matmul at Precision.HIGHEST + the rank "
              "reduction on device, only the integer result fetched per "
              "epoch; equals the host recall cells given the corpus "
-             "contracts checked up front.  Removes the two dominant sweep "
-             "phases at true CIRR scale: 823 -> 330 s end-to-end "
-             "(BENCH_NOTES round 5).  host: the formula-literal numpy path "
-             "(default)")
+             "contracts checked up front; works under a mesh / multi-"
+             "process (queries stay sharded, corpus replicated, integer "
+             "result gathered).  Removes the two dominant sweep phases at "
+             "true CIRR scale: 823 -> 330 s end-to-end (BENCH_NOTES round "
+             "5).  host: the formula-literal numpy path (default)")
     add("--no-device-preprocess", dest="device_preprocess",
         action="store_false", default=True,
         help="disable uint8 transfer + on-device normalization (ship f32 "

@@ -108,9 +108,11 @@ class EvalContext:
     # f32 dot is single-pass bf16 and measurably reorders near-ties,
     # BENCH_NOTES round 5), so the two paths can differ only on scores tied
     # to within f32 reduction order.  At true CIRR scale this removes the
-    # two dominant sweep phases (823 -> 330 s end-to-end).  Host default
-    # keeps the formula-literal numpy path; single-process only (under a
-    # mesh the host path's fetch_global handles cross-process assembly).
+    # two dominant sweep phases (823 -> 330 s end-to-end).  Meshed and
+    # multi-process runs are supported: queries stay sharded over the batch
+    # axis, the corpus is replicated (eval corpora are <=10k rows), and only
+    # the integer result crosses hosts.  Host default keeps the
+    # formula-literal numpy path.
     eval_ranking: str = "host"
     _jit_cache: dict = field(default_factory=dict)
     _heads_cache: dict = field(default_factory=dict)
@@ -293,18 +295,22 @@ last_cirr_walls: Dict[str, float] = {}
 
 
 def _device_rank_enabled(ctx: EvalContext) -> bool:
-    """Gate for the device-ranking sweep paths (single-process, no mesh —
-    under a mesh the host paths' fetch_global handles cross-process
-    assembly).  Shared by the CIRR/Fashion/COCO/ImageNet evaluators."""
-    if ctx.eval_ranking != "device":
-        return False
-    ok = ((ctx.mesh is None or ctx.mesh.devices.size <= 1)
-          and jax.process_count() == 1)
-    if not ok:
-        logging.info("eval_ranking=device requested under a mesh/multi-"
-                     "process run — falling back to host ranking "
-                     "(fetch_global handles cross-process assembly there)")
-    return ok
+    """Gate for the device-ranking sweep paths, shared by the CIRR/Fashion/
+    COCO/ImageNet evaluators.  Meshed and multi-process runs are supported:
+    the composed queries arrive as global arrays sharded over the batch axis
+    (shard_global_batch feed), the corpus is replicated (eval corpora are
+    <=10k rows — KBs to MBs), the rank reduction is row-parallel, and only
+    the tiny integer result crosses hosts (fetch_global)."""
+    return ctx.eval_ranking == "device"
+
+
+def _rank_corpus_dev(ctx: EvalContext, corpus: np.ndarray) -> jax.Array:
+    """Stage the (host-identical) corpus for the device rank_fns: replicated
+    over the mesh when there is one — a committed single-device upload would
+    make jit raise 'incompatible devices' next to mesh-sharded queries."""
+    if ctx._replicated is not None:
+        return jax.device_put(jnp.asarray(corpus), ctx._replicated)
+    return jnp.asarray(corpus)
 
 
 _RANK_PRECISION = jax.lax.Precision.HIGHEST
@@ -349,7 +355,7 @@ def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
     if device_rank:
         base_names = [os.path.basename(n) for n in target_paths]
         M.check_cirr_gt_unique(base_names, ref_paths, answer_paths)
-        corpus_dev = jnp.asarray(corpus)
+        corpus_dev = _rank_corpus_dev(ctx, corpus)
         top_k = min(101, corpus.shape[0])
 
         @jax.jit
@@ -377,7 +383,7 @@ def evaluate_cirr(ctx: EvalContext, query_loader, target_loader,
         if device_rank:
             idx3 = rank_fn(jnp.concatenate(composed),
                            jnp.concatenate(composed_tb), corpus_dev)
-            idx3 = [np.asarray(i) for i in idx3]
+            idx3 = [fetch_global(i) for i in idx3]
             tc = _time.perf_counter()
             for key, ti in zip(("composed", "image", "mixture"), idx3):
                 m = M.get_metrics_cirr_from_topk(
@@ -487,7 +493,7 @@ def evaluate_fashion(ctx: EvalContext, source_loader, target_loader,
     device_rank = _device_rank_enabled(ctx)
     if device_rank:
         M.check_fashion_gt_unique(target_paths, answer_paths)
-        corpus_dev = jnp.asarray(corpus)
+        corpus_dev = _rank_corpus_dev(ctx, corpus)
         top_k = min(100, corpus.shape[0])
 
         @jax.jit
@@ -518,7 +524,7 @@ def evaluate_fashion(ctx: EvalContext, source_loader, target_loader,
                            corpus_dev)
             for key, ti in zip(("composed", "image", "mixture"), idx3):
                 m = M.get_metrics_fashion_from_topk(
-                    np.asarray(ti), target_paths, answer_paths)
+                    fetch_global(ti), target_paths, answer_paths)
                 _log_metrics(f"Fashion[j={j}]", key, m)
                 results[(j, key)] = m
             continue
@@ -569,7 +575,7 @@ def evaluate_coco(ctx: EvalContext, loader,
 
     device_rank = _device_rank_enabled(ctx)
     if device_rank:
-        corpus_dev = jnp.asarray(corpus)
+        corpus_dev = _rank_corpus_dev(ctx, corpus)
 
         def _diag_ranks(logits):
             # 0-based rank a stable descending argsort assigns the diagonal:
@@ -610,8 +616,8 @@ def evaluate_coco(ctx: EvalContext, loader,
                               jnp.float32(0.05 * j), jnp.float32(1 - 0.05 * j),
                               corpus_dev)
             for key, (p_i2r, p_r2i) in zip(("composed", "image", "mixture"), preds3):
-                m = M.get_metrics_coco_from_preds(np.asarray(p_i2r),
-                                                  np.asarray(p_r2i))
+                m = M.get_metrics_coco_from_preds(fetch_global(p_i2r),
+                                                  fetch_global(p_r2i))
                 _log_metrics(f"COCO[j={j}]", key, m)
                 results[(j, key)] = m
             continue
@@ -653,7 +659,7 @@ def evaluate_imgnet_retrieval(ctx: EvalContext, prompts: Sequence[str],
 
     device_rank = _device_rank_enabled(ctx)
     if device_rank:
-        target_dev = jnp.asarray(target_feats)
+        target_dev = _rank_corpus_dev(ctx, target_feats)
         top_k = min(200, target_feats.shape[0])
 
         @jax.jit
@@ -685,7 +691,7 @@ def evaluate_imgnet_retrieval(ctx: EvalContext, prompts: Sequence[str],
                                target_dev)
                 for key, ti in zip(("composed", "image", "mixture"), idx3):
                     m = M.get_metrics_imgnet_from_topk(
-                        np.asarray(ti), labels_all, target_labels)
+                        fetch_global(ti), labels_all, target_labels)
                     _log_metrics(f"ImgNet[j={j}, prompt={p!r}]", key, m)
                     results[(j, p, key)] = m
                 continue

@@ -173,6 +173,7 @@ def test_eval_cli_cirr_db_shard_matches_single_device(tmp_path, caplog):
         ev.evaluate_cirr = lambda ctx, s, t, epochs=None: orig(ctx, s, t, epochs=[1])
         for tag, extra in (("shard", ["--db-shard"]),
                            ("subset", ["--db-shard", "--num-partitions", "4"]),
+                           ("devrank", ["--db-shard", "--eval-ranking", "device"]),
                            ("single", ["--num-partitions", "1"])):
             caplog.clear()
             eval_main([
@@ -188,3 +189,6 @@ def test_eval_cli_cirr_db_shard_matches_single_device(tmp_path, caplog):
     assert metrics["shard"] and set(metrics["shard"]) == {"composed", "image", "mixture"}
     assert metrics["shard"] == metrics["single"], metrics
     assert metrics["subset"] == metrics["single"], metrics
+    # device ranking under the mesh (queries sharded, corpus replicated,
+    # rank reduction on device) must reproduce the same table
+    assert metrics["devrank"] == metrics["single"], metrics

@@ -370,3 +370,64 @@ def test_evaluate_imgnet_device_ranking_matches_host(tiny_model, imgnet_root):
             epochs=[1])
 
     assert run("host") == run("device")
+
+
+def test_evaluate_cirr_device_ranking_matches_host_meshed(tiny_model, cirr_root):
+    """Device ranking under a mesh (BASELINE config 4's eval shape): composed
+    queries arrive sharded over the batch axis, the corpus is replicated, the
+    rank reduction runs on device — metrics must equal the meshed host path's
+    (same composed features, so equality is exact, not approximate)."""
+    from keds_tpu.parallel.mesh import make_mesh
+
+    cfg, clip_params, db, ib, tb = tiny_model
+    t_val = image_transform(cfg.image_resolution)
+    mesh = make_mesh()
+    if mesh.devices.size <= 1:
+        pytest.skip("needs a multi-device mesh")
+    db_sh = db.shard_over(mesh)
+
+    def run(ranking):
+        src = CIRR(transforms=t_val, root=cirr_root)
+        tgt = CIRR(transforms=t_val, root=cirr_root, mode="imgs")
+        ctx = EvalContext(
+            clip_params=clip_params, cfg=cfg,
+            retriever=Retriever(db_sh, mesh=mesh, sharded=True),
+            image_branch=ib, text_branch=tb, compute_dtype=jnp.float32,
+            eval_ranking=ranking, mesh=mesh,
+        )
+        return evaluate_cirr(ctx, DataLoader(src, 4), DataLoader(tgt, 4),
+                             epochs=[1, 2])
+
+    assert run("host") == run("device")
+
+
+def test_evaluate_imgnet_device_ranking_matches_host_meshed(tiny_model, imgnet_root):
+    """Same meshed-equality pin for an evaluator whose rank reduction is
+    top-K rather than CIRR's masked top-101 (covers the generalized path)."""
+    from keds_tpu.data.datasets import ImageList
+    from keds_tpu.evalkit.evaluators import evaluate_imgnet_retrieval
+    from keds_tpu.parallel.mesh import make_mesh
+
+    cfg, clip_params, db, ib, tb = tiny_model
+    t_val = image_transform(cfg.image_resolution)
+    mesh = make_mesh()
+    if mesh.devices.size <= 1:
+        pytest.skip("needs a multi-device mesh")
+    db_sh = db.shard_over(mesh)
+
+    def run(ranking):
+        src = ImageList(os.path.join(imgnet_root, "imgnet", "imgnet_real_query.txt"),
+                        root=imgnet_root, transforms=t_val, is_labels=True)
+        tgt = ImageList(os.path.join(imgnet_root, "imgnet", "imgnet_targets.txt"),
+                        root=imgnet_root, transforms=t_val, is_labels=True)
+        ctx = EvalContext(
+            clip_params=clip_params, cfg=cfg,
+            retriever=Retriever(db_sh, mesh=mesh, sharded=True),
+            image_branch=ib, text_branch=tb, compute_dtype=jnp.float32,
+            eval_ranking=ranking, mesh=mesh,
+        )
+        return evaluate_imgnet_retrieval(
+            ctx, ["a cartoon of *"], DataLoader(src, 3), DataLoader(tgt, 5),
+            epochs=[1])
+
+    assert run("host") == run("device")

@@ -1020,3 +1020,134 @@ def test_two_process_text_stream_bucketed_cli_matches_single_process(tmp_path):
     for a, b in zip(jax.tree.leaves(h_mp), jax.tree.leaves(h_sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+CHILD_EVAL_DEVRANK = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from keds_tpu.config import Config
+from keds_tpu.parallel.mesh import make_mesh, maybe_init_distributed
+
+cfg = Config(distributed=True, dist_url=os.environ["TEST_DIST_URL"])
+maybe_init_distributed(cfg)
+assert jax.process_count() == 2
+
+import json
+import numpy as np
+import jax.numpy as jnp
+from PIL import Image
+
+from keds_tpu.data.datasets import CIRR
+from keds_tpu.data.loader import DataLoader
+from keds_tpu.evalkit.evaluators import EvalContext, evaluate_cirr
+from keds_tpu.io.checkpoint import save_train_checkpoint
+from keds_tpu.models import clip as mclip, heads as mheads
+from keds_tpu.models.composition import FusionHeads
+from keds_tpu.retrieval.database import KnowledgeDB, Retriever
+from keds_tpu.transforms import image_transform
+
+D = 32
+ccfg = mclip.ClipConfig(
+    embed_dim=D, image_resolution=32, vision_layers=1, vision_width=64,
+    vision_patch_size=16, transformer_width=D, transformer_heads=1,
+    transformer_layers=1,
+)
+params = mclip.init_clip(jax.random.key(0), ccfg)
+
+# Every rank builds an identical fixture tree locally (fixed seeds) — eval
+# loaders iterate the FULL dataset on each process, so only values must
+# match, not paths.
+tmp = os.environ["TEST_LOCAL_TMP"] + f"/rank{jax.process_index()}"
+for branch, seed in (("image_branch", 2), ("text_branch", 3)):
+    for ep in (1, 2):
+        k1, k2, k3 = jax.random.split(jax.random.key(seed + 10 * ep), 3)
+        heads = FusionHeads(
+            img2text=mheads.init_im2text(k1, D, 24, D),
+            retrieval_fuse=mheads.init_crossformer(k2, D, D, D, num_layers=2),
+            text_condition=mheads.init_crossformer(k3, D, D, D, num_layers=2),
+        )
+        save_train_checkpoint(
+            os.path.join(tmp, branch, f"epoch_{ep}.pt"), epoch=ep, name="t",
+            clip_params=params, clip_cfg=ccfg, heads=heads)
+
+rng = np.random.default_rng(0)
+root = os.path.join(tmp, "data")
+base = os.path.join(root, "CIRR")
+for d in ("dev", "captions", "image_splits"):
+    os.makedirs(os.path.join(base, d))
+names = [f"img{i}" for i in range(11)]  # odd corpus: ragged on the 2-axis
+for n in names:
+    Image.fromarray(rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)
+                    ).save(os.path.join(base, "dev", f"{n}.png"))
+caps = [{"reference": names[q], "target_hard": names[(q + 2) % 11],
+         "caption": f"turn thing {q} around"} for q in range(5)]
+with open(os.path.join(base, "captions", "cap.rc2.val.json"), "w") as f:
+    json.dump(caps, f)
+with open(os.path.join(base, "image_splits", "split.rc2.val.json"), "w") as f:
+    json.dump({n: f"dev/{n}.png" for n in names}, f)
+
+mesh = make_mesh()
+assert mesh.devices.size == 2
+db = KnowledgeDB.from_arrays(
+    rng.standard_normal((64, D)).astype(np.float32),
+    rng.standard_normal((64, D)).astype(np.float32), dtype=jnp.float32)
+db_s = db.shard_over(mesh)
+t_val = image_transform(ccfg.image_resolution)
+
+results = {}
+for ranking in ("host", "device"):
+    src = CIRR(transforms=t_val, root=root)
+    tgt = CIRR(transforms=t_val, root=root, mode="imgs")
+    ctx = EvalContext(
+        clip_params=params, cfg=ccfg,
+        retriever=Retriever(db_s, mesh=mesh, sharded=True),
+        image_branch=os.path.join(tmp, "image_branch"),
+        text_branch=os.path.join(tmp, "text_branch"),
+        compute_dtype=jnp.float32, db_topk=8, mesh=mesh,
+        eval_ranking=ranking,
+    )
+    results[ranking] = evaluate_cirr(ctx, DataLoader(src, 3),
+                                     DataLoader(tgt, 4), epochs=[1, 2])
+
+assert results["host"] == results["device"], (
+    results["host"], results["device"])
+r1 = results["device"][(1, "mixture")]["recall_R@1"]
+print(f"rank {jax.process_index()}: 2-process eval devrank OK R@1={r1:.4f}")
+"""
+
+
+def test_two_process_eval_device_ranking_matches_host(tmp_path):
+    """Round-5: --eval-ranking device across PROCESSES — composed queries
+    stay sharded over the 2-process mesh, the corpus is replicated, the
+    top-101 rank reduction runs on device, and the gathered index matrix
+    must yield the exact metric table of the multi-process HOST path (which
+    assembles full features via fetch_global)."""
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base.pop("WORLD_SIZE", None)
+    env_base.pop("RANK", None)
+    env_base["PYTHONPATH"] = str(REPO_ROOT) + os.pathsep + env_base.get("PYTHONPATH", "")
+    env_base["JAX_PLATFORMS"] = "cpu"
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env_base["TEST_DIST_URL"] = f"tcp://127.0.0.1:{port}"
+    env_base["TEST_LOCAL_TMP"] = str(tmp_path)
+    env_base["WORLD_SIZE"] = "2"
+    procs = []
+    for rank in range(2):
+        env = dict(env_base)
+        env["RANK"] = str(rank)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", CHILD_EVAL_DEVRANK], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=str(REPO_ROOT),
+        ))
+    outs = [p.communicate(timeout=600) for p in procs]
+    lines = []
+    for rank, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        assert "2-process eval devrank OK" in out, out
+        lines.append(out.strip().splitlines()[-1].split("R@1=")[1])
+    assert lines[0] == lines[1], lines  # both ranks computed the same table
