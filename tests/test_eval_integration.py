@@ -431,3 +431,46 @@ def test_evaluate_imgnet_device_ranking_matches_host_meshed(tiny_model, imgnet_r
             epochs=[1])
 
     assert run("host") == run("device")
+
+
+def test_evaluate_fashion_coco_device_ranking_matches_host_meshed(
+        tiny_model, fashion_root, coco_root):
+    """Meshed equality for the two remaining device-ranking shapes: the
+    weighted-mixture top-100 (Fashion) and the square diagonal-rank
+    reduction (COCO, sharded over one axis of a (T, Q) logit matrix)."""
+    from keds_tpu.data.datasets import CsvCOCO
+    from keds_tpu.evalkit.evaluators import evaluate_coco
+    from keds_tpu.parallel.mesh import make_mesh
+    from keds_tpu.transforms import region_transform
+
+    cfg, clip_params, db, ib, tb = tiny_model
+    t_val = image_transform(cfg.image_resolution)
+    mesh = make_mesh()
+    if mesh.devices.size <= 1:
+        pytest.skip("needs a multi-device mesh")
+    db_sh = db.shard_over(mesh)
+
+    def ctx(ranking):
+        return EvalContext(
+            clip_params=clip_params, cfg=cfg,
+            retriever=Retriever(db_sh, mesh=mesh, sharded=True),
+            image_branch=ib, text_branch=tb, compute_dtype=jnp.float32,
+            eval_ranking=ranking, mesh=mesh,
+        )
+
+    def run_fashion(ranking):
+        src = FashionIQ(cloth="dress", transforms=t_val, root=fashion_root,
+                        is_return_target_path=True)
+        tgt = FashionIQ(cloth="dress", transforms=t_val, root=fashion_root,
+                        mode="imgs")
+        return evaluate_fashion(ctx(ranking), DataLoader(src, 4),
+                                DataLoader(tgt, 4), epochs=[1])
+
+    def run_coco(ranking):
+        ds = CsvCOCO(transforms=t_val,
+                     transforms_region=region_transform(cfg.image_resolution),
+                     root=coco_root)
+        return evaluate_coco(ctx(ranking), DataLoader(ds, 3), epochs=[1])
+
+    assert run_fashion("host") == run_fashion("device")
+    assert run_coco("host") == run_coco("device")
