@@ -546,8 +546,20 @@ def evaluate_fashion(ctx: EvalContext, source_loader, target_loader,
 # COCO
 # ---------------------------------------------------------------------------
 
+# Phase walls of the most recent evaluate_coco call — read by
+# tools/bench_coco_fullscale.py and logged at INFO; purely observational
+# (same shape as last_cirr_walls; queries/corpus share one loader pass here).
+last_coco_walls: Dict[str, float] = {}
+
+
 def evaluate_coco(ctx: EvalContext, loader,
                   epochs: Sequence[int] = range(1, 26)) -> Dict:
+    import time as _time
+
+    walls = {"queries_s": 0.0, "corpus_s": 0.0, "sweep_s": 0.0,
+             "sweep_load_s": 0.0, "sweep_compose_s": 0.0,
+             "sweep_metrics_s": 0.0, "epochs": 0}
+
     def unpack(batch):
         # text_full is NOT uploaded: the reference encodes it but its
         # metrics entry is commented out (eval_utils.py:543,566) — dead
@@ -561,10 +573,14 @@ def evaluate_coco(ctx: EvalContext, loader,
             text=jnp.asarray(_bucket(text_with_queryclass)),
         )
 
+    t0 = _time.perf_counter()
     cache = _precompute_queries(ctx, loader, unpack)
+    walls["queries_s"] = _time.perf_counter() - t0
+    t1 = _time.perf_counter()
     corpus_parts = [_norm(ctx.image_features(b["target_images"]).astype(jnp.float32))
                     for b in cache]
     corpus = np.concatenate([fetch_global(c) for c in corpus_parts])
+    walls["corpus_s"] = _time.perf_counter() - t1
     for b in cache:
         # The raw target images are only needed for the corpus pass above;
         # keeping them in the cache would pin ~3 GB of f32 HBM (5k-image
@@ -601,11 +617,14 @@ def evaluate_coco(ctx: EvalContext, loader,
             return out
 
     results = {}
+    t2 = _time.perf_counter()
     for j in epochs:
+        ta = _time.perf_counter()
         heads_ib = ctx.load_heads(ctx.image_branch, 2 * j - 1)
         # Reference loads the second member from the image branch too
         # (eval_utils.py:483).
         heads_tb = ctx.load_heads(ctx.image_branch, 2 * j)
+        tb_ = _time.perf_counter()
         composed, composed_tb = [], []
         for b in cache:  # dispatch all batches, fetch afterwards
             composed.append(compose(heads_ib, b["feats"], b["topk_img"], b["topk_txt"], b["text"]))
@@ -615,22 +634,42 @@ def evaluate_coco(ctx: EvalContext, loader,
                               jnp.concatenate(composed_tb),
                               jnp.float32(0.05 * j), jnp.float32(1 - 0.05 * j),
                               corpus_dev)
+            preds3 = [(fetch_global(p_i2r), fetch_global(p_r2i))
+                      for p_i2r, p_r2i in preds3]
+            tc = _time.perf_counter()
             for key, (p_i2r, p_r2i) in zip(("composed", "image", "mixture"), preds3):
-                m = M.get_metrics_coco_from_preds(fetch_global(p_i2r),
-                                                  fetch_global(p_r2i))
+                m = M.get_metrics_coco_from_preds(p_i2r, p_r2i)
                 _log_metrics(f"COCO[j={j}]", key, m)
                 results[(j, key)] = m
-            continue
-        composed = np.concatenate([fetch_global(c) for c in composed])
-        composed_tb = np.concatenate([fetch_global(c) for c in composed_tb])
-        mixture = 0.05 * j * composed_tb + (1 - 0.05 * j) * composed
-        mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
-        feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
-        metric_fn = partial(M.get_metrics_coco, corpus, logit_scale=logit_scale)
-        for key, value in feats.items():
-            m = metric_fn(ref_features=value)
-            _log_metrics(f"COCO[j={j}]", key, m)
-            results[(j, key)] = m
+        else:
+            composed = np.concatenate([fetch_global(c) for c in composed])
+            composed_tb = np.concatenate([fetch_global(c) for c in composed_tb])
+            mixture = 0.05 * j * composed_tb + (1 - 0.05 * j) * composed
+            mixture /= np.linalg.norm(mixture, axis=-1, keepdims=True)
+            tc = _time.perf_counter()
+            feats = {"composed": composed, "image": composed_tb, "mixture": mixture}
+            metric_fn = partial(M.get_metrics_coco, corpus, logit_scale=logit_scale)
+            for key, value in feats.items():
+                m = metric_fn(ref_features=value)
+                _log_metrics(f"COCO[j={j}]", key, m)
+                results[(j, key)] = m
+        td = _time.perf_counter()
+        walls["sweep_load_s"] += tb_ - ta
+        walls["sweep_compose_s"] += tc - tb_
+        walls["sweep_metrics_s"] += td - tc
+        walls["epochs"] += 1
+    walls["sweep_s"] = _time.perf_counter() - t2
+    last_coco_walls.clear()
+    last_coco_walls.update(walls)
+    n_ep = max(walls["epochs"], 1)
+    logging.info(
+        "COCO phase walls: queries %.2f s, corpus %.2f s (%d rows), sweep "
+        "%.2f s over %d epoch(s) (per epoch: load %.2f, compose+fetch %.2f, "
+        "metrics %.2f)",
+        walls["queries_s"], walls["corpus_s"], corpus.shape[0],
+        walls["sweep_s"], walls["epochs"], walls["sweep_load_s"] / n_ep,
+        walls["sweep_compose_s"] / n_ep, walls["sweep_metrics_s"] / n_ep,
+    )
     return results
 
 
